@@ -1,0 +1,78 @@
+"""Solver options, mirroring the reference ``opttype`` (bslv_vlp.h:89-104)
+and ``set_default_opt`` (bslv_vlp.c:876-894)."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Alg(enum.Enum):
+    PRIMAL = "primal"
+    DUAL = "dual"
+
+
+class Format(enum.Enum):
+    SHORT = "short"
+    LONG = "long"
+    AUTO = "auto"
+
+
+class LPMethod(enum.Enum):
+    """LP method selection flags (-k/-L/-l).  The reference maps these onto
+    GLPK's primal/dual simplex (bslv_lp.c:153-198).  The TPU build keeps the
+    flags for CLI compatibility; the batched solver currently implements the
+    (composite phase-1) primal simplex and treats the rest as hints."""
+
+    PRIMAL_SIMPLEX = "primal_simplex"
+    DUAL_SIMPLEX = "dual_simplex"
+    DUAL_PRIMAL_SIMPLEX = "dual_primal_simplex"
+    AUTO = "auto"
+
+
+# Tolerance catalog, bslv_main.h:33-78
+DEFAULT_EPS_PHASE0 = 1e-8
+DEFAULT_EPS_PHASE1 = 1e-8
+DEFAULT_EPS_BENSON_PHASE1 = 1e-7
+DEFAULT_EPS_BENSON_PHASE2 = 1e-7
+EPS_C = 1e-7
+EPS_POLY = 1e-9
+EPS_OUTPUT_CHOP = 1e-10
+PRIMAL_PLOT_CUT_SHIFT = 0.5
+DUAL_PLOT_CUT_SHIFT = 0.2
+FORMAT_SHORT_STR = "%10.4g "
+FORMAT_LONG_STR = "%.14g "
+
+
+@dataclasses.dataclass
+class Options:
+    bounded: bool = False          # -b: skip phases 0 and 1
+    plot: bool = False             # -p: OFF graphics output (q==3 only)
+    filename: str = ""             # output base name (-o)
+    solution: bool = False         # -s: write pre-images
+    format: Format = Format.AUTO   # -f
+    message_level: int = 1         # -m 0..3
+    lp_message_level: int = 1      # -M 0..3
+    alg_phase1: Alg = Alg.PRIMAL   # -A
+    alg_phase2: Alg = Alg.PRIMAL   # -a
+    lp_method_phase0: LPMethod = LPMethod.PRIMAL_SIMPLEX  # -k
+    lp_method_phase1: LPMethod = LPMethod.AUTO            # -L
+    lp_method_phase2: LPMethod = LPMethod.AUTO            # -l
+    eps_phase0: float = DEFAULT_EPS_PHASE0
+    eps_phase1: float = DEFAULT_EPS_PHASE1
+    eps_benson_phase1: float = DEFAULT_EPS_BENSON_PHASE1  # -E
+    eps_benson_phase2: float = DEFAULT_EPS_BENSON_PHASE2  # -e
+    # TPU-build specific knobs (no reference counterpart):
+    write_files: bool = True       # emit the .sol/.log artifact family
+    poly_test: bool = False        # run polytope integrity checks (POLY_TEST)
+    lp_max_batch: int = 4096       # cap on LPs solved per device round
+
+    def fmt_file(self) -> str:
+        """Format string for files: long unless explicitly short
+        (bslv_algs.c:90)."""
+        return FORMAT_SHORT_STR if self.format is Format.SHORT else FORMAT_LONG_STR
+
+    def fmt_stdout(self) -> str:
+        """Format string for stdout: short unless explicitly long
+        (bslv_algs.c:81)."""
+        return FORMAT_LONG_STR if self.format is Format.LONG else FORMAT_SHORT_STR
