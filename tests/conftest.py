@@ -3,7 +3,6 @@ sharding paths can be exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,7 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Force CPU: the ambient environment may route jax at real TPU hardware
+# (a tunnel backend with remote compilation, ~80s per compile).  jax is
+# typically already imported by sitecustomize before this file runs, so
+# the env var is too late -- use the config API, which always works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
