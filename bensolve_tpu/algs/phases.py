@@ -1,0 +1,450 @@
+"""The Benson algorithm phases, batched.
+
+Reference: bslv_algs.c phase0 (:673), phase1_primal (:811), phase2_init
+(:943), phase2_primal (:958), phase1_dual (:1248), phase2_dual (:1381).
+
+The structural change from the reference: where the serial C code pops
+ONE unprocessed vertex of the outer approximation per iteration and
+solves one LP (bslv_algs.c:863-895), these drivers gather the ENTIRE
+frontier each round, solve the whole batch of scalarization LPs in one
+device call, then apply the resulting cuts in deterministic (ascending
+vertex index) order.  Every cut is a supporting halfspace of the true
+image, so batched rounds converge to the same epsilon-solution; LP
+counts and intermediate polytopes differ from the serial reference by
+design (SURVEY.md section 7.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from bensolve_tpu.algs.solution import SolStatus, SolutionContext, cone_vertenum
+from bensolve_tpu.algs.templates import (HOMOGENEOUS, INHOMOGENEOUS,
+                                         P1Template, P2Template)
+from bensolve_tpu.lp import simplex
+from bensolve_tpu.poly.polytope import (POLY_EPS, PolytopePair,
+                                        make_lower_to_upper_v2h,
+                                        make_upper_to_lower_v2h)
+from bensolve_tpu.vlp.options import Options
+from bensolve_tpu.vlp.problem import VLPProblem
+
+
+@dataclasses.dataclass
+class Stats:
+    """Run counters (reference lp_num, bslv_lp.c:30; plus round counts
+    for the batched execution model)."""
+
+    lps: int = 0
+    rounds: int = 0
+    cuts: int = 0
+
+
+def _check_all_optimal(res, what: str) -> None:
+    bad = np.flatnonzero(res.status != simplex.OPTIMAL)
+    if bad.size:
+        raise RuntimeError(
+            f"{what}: LP {bad[0]} returned status {res.status[bad[0]]} "
+            f"(expected optimal)")
+
+
+def orthogonal_vector(C: np.ndarray, i: int) -> None:
+    """Write into column i a unit vector orthogonalized against columns
+    0..i-1, retrying across the unit basis on degeneracy (reference
+    orthogonal_vector, bslv_lists.c:113-143)."""
+    dim = C.shape[0]
+    for r in range(dim):
+        v = np.zeros(dim)
+        v[(i + r) % dim] = 1.0
+        for j in range(i):
+            cj = C[:, j]
+            v -= (cj @ v) / (cj @ cj) * cj
+        if v @ v > 1e-3:
+            break
+    C[:, i] = v / np.sqrt(v @ v)
+
+
+def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
+           opt: Options, stats: Stats) -> None:
+    """Compute eta in int(D* + K) with eta'c == 1 via a short serial
+    sequence of P2-homogeneous probes (reference bslv_algs.c:673-800).
+    Sets sol.eta, or sol.status to UNBOUNDED / NOVERTEX."""
+    q = sol.q
+    m = vlp.m
+    t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS)
+
+    res = t2.solve(np.zeros((1, sol.p)))
+    stats.lps += 1
+    if res.status[0] == simplex.UNBOUNDED:
+        sol.status = SolStatus.UNBOUNDED
+        return
+    _check_all_optimal(res, "phase0 seed")
+    z = res.row_dual[0, m:m + q - 1].copy()
+
+    C = np.zeros((q - 1, q - 1))
+    V = np.zeros((q - 1, q - 1))
+    for i in range(q - 1):
+        orthogonal_vector(C, i)
+        ub = (C[:, i] @ sol.Z[: q - 1, :])[None, :]   # (1, p)
+        res = t2.solve(ub)
+        stats.lps += 1
+        _check_all_optimal(res, "phase0 probe")
+        V[:, i] = res.row_dual[0, m:m + q - 1] - z
+        if abs(C[:, i] @ V[:, i]) < opt.eps_phase0:
+            res = t2.solve(-ub)
+            stats.lps += 1
+            _check_all_optimal(res, "phase0 probe (flipped)")
+            V[:, i] = res.row_dual[0, m:m + q - 1] - z
+        if abs(C[:, i] @ V[:, i]) < opt.eps_phase0:
+            sol.status = SolStatus.NOVERTEX
+            return
+        # C(i) <- V(i) orthogonalized against C(0..i-1) (bslv_algs.c:762-780)
+        v = V[:, i].copy()
+        for j in range(i):
+            cj = C[:, j]
+            v -= (cj @ V[:, i]) / (cj @ cj) * cj
+        C[:, i] = v
+
+    # eta = mean of {0, V(0..q-2)} + z; last component from eta'c == 1
+    # (bslv_algs.c:783-798)
+    eta = np.zeros(q)
+    if q > 1:
+        eta[: q - 1] = V.sum(axis=1) / q + z
+    eta[q - 1] = 1.0 - sol.c[: q - 1] @ eta[: q - 1]
+    sol.eta = eta
+
+
+def _extract_R_H(sol: SolutionContext, lower_poly, opt: Options,
+                 stats: Stats) -> None:
+    """Phase 1 part 3 (bslv_algs.c:908-929 / :1346-1366): collect
+    lower-image vertices with last component ~ 0, rescale the last
+    component so that c'y* == 1, and run cone vertex enumeration to get
+    R (non-redundant) and H (its dual cone)."""
+    q = sol.q
+    cols = []
+    for l in lower_poly.live():
+        if lower_poly.ideal[l]:
+            continue
+        v = lower_poly.data[l]
+        if abs(v[q - 1]) < opt.eps_phase1:
+            w = np.empty(q)
+            w[: q - 1] = v[: q - 1]
+            w[q - 1] = 1.0 - sol.c[: q - 1] @ v[: q - 1]
+            cols.append(w)
+    arr = np.array(cols).T if cols else np.zeros((q, 0))
+    res = cone_vertenum(arr, q)
+    if res is None:
+        raise RuntimeError("recession cone enumeration failed")
+    sol.R, sol.H = res
+
+
+def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
+                  opt: Options, stats: Stats) -> PolytopePair:
+    """Outer-approximate the recession cone of the upper image
+    (homogeneous Benson, reference bslv_algs.c:811-933)."""
+    q = sol.q
+    pair = PolytopePair(q, eps=POLY_EPS,
+                        dual_v2h=make_lower_to_upper_v2h(sol.c))
+    t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS)
+    p = sol.p
+
+    # PART 1: one LP per column of Z, each with only its own extra row
+    # active (bslv_algs.c:828-848) — batched
+    ub = np.full((p, p), np.inf)
+    np.fill_diagonal(ub, 0.0)
+    res = t2.solve(ub)
+    stats.lps += p
+    _check_all_optimal(res, "phase1_primal init")
+    for j in range(p):
+        val = np.empty(q)
+        val[: q - 1] = sol.Z[: q - 1, j]
+        val[q - 1] = res.obj[j]
+        pair.add_vertex(val, ideal=False)
+    if not pair.initial_approx():
+        raise RuntimeError("phase1_primal: initial approximation failed")
+
+    # PART 2: batched main loop
+    _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase1, stats,
+                        phase1=True)
+
+    # PART 3: R and H
+    _extract_R_H(sol, pair.dual, opt, stats)
+    return pair
+
+
+def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
+                        sol: SolutionContext, eps: float, stats: Stats,
+                        *, phase1: bool, pre_img: bool = False,
+                        optdir: int = 1) -> None:
+    """Shared main loop of the primal phases: per round, solve P2(v) for
+    every unprocessed non-ideal vertex v of the outer approximation and
+    either cut (obj > eps) or finalize the vertex."""
+    P = pair.primal
+    q = sol.q
+    ZR = sol.Z if phase1 else sol.R
+    m = t2.m
+    while True:
+        frontier = P.frontier()
+        if frontier.size == 0:
+            break
+        ideals = frontier[P.ideal[frontier]]
+        P.sltn[ideals] = True   # directions are never processed
+        cand = frontier[~P.ideal[frontier]]
+        if cand.size == 0:
+            continue
+        stats.rounds += 1
+        V = P.data[cand]                       # (B, q)
+        res = t2.solve(V @ ZR)                 # ub_j = ZR_j . v
+        stats.lps += cand.size
+        _check_all_optimal(res,
+                           "phase1_primal loop" if phase1 else "phase2_primal loop")
+        W = t2.duals_w(res)                    # (B, q)
+        progressed = False
+        for i, idx in enumerate(cand):
+            idx = int(idx)
+            if not P.used[idx]:
+                continue   # removed by an earlier cut this round
+            w = W[i]
+            if phase1:
+                alpha = float(t2.duals_alpha(res)[i])
+                passed = res.obj[i] > eps
+                ystar = np.empty(q)
+                ystar[: q - 1] = w[: q - 1] + alpha * sol.eta[: q - 1]
+                ystar[q - 1] = alpha
+            else:
+                yy = t2.primal_y(res)[i]
+                passed = res.obj[i] > eps
+                ystar = np.empty(q)
+                ystar[: q - 1] = w[: q - 1]
+                ystar[q - 1] = float(yy @ w)
+            if passed:
+                primg = None
+                if pre_img:
+                    primg = np.concatenate([
+                        t2.duals_u(res)[i] * (1 if optdir == 1 else -1),
+                        w * (1 if sol.c_dir.value > 0 else -1)])
+                if pair.add_vertex(ystar, ideal=False, primg=primg):
+                    stats.cuts += 1
+                    progressed = True
+            else:
+                P.sltn[idx] = True
+                progressed = True
+                if pre_img and not phase1:
+                    P.primg[idx, : t2.n] = t2.primal_x(res)[i]
+        if not progressed:
+            # cannot happen for live vertices (a vertex always violates
+            # its own eps-passing cut); defensive stall guard
+            P.sltn[cand] = True
+            break
+
+
+def phase2_init(sol: SolutionContext) -> None:
+    """Bounded shortcut (-b): R <- Z, H <- Y, skipping phases 0 and 1
+    (reference bslv_algs.c:943-956)."""
+    sol.R = sol.Z.copy()
+    sol.H = sol.Y.copy()
+
+
+def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
+                  opt: Options, stats: Stats) -> PolytopePair | None:
+    """Inhomogeneous primal Benson on the upper image
+    (reference bslv_algs.c:958-1161, computation part; output epilogue
+    lives in the driver)."""
+    q = sol.q
+    pre = opt.solution
+    pair = PolytopePair(q, eps=POLY_EPS,
+                        dual_v2h=make_lower_to_upper_v2h(sol.c),
+                        dim_primg_primal=vlp.n if pre else 0,
+                        dim_primg_dual=vlp.m + q if pre else 0)
+    t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS)
+    r = sol.r
+
+    # PART 1: seed with one LP per column of R (bslv_algs.c:976-1018)
+    ub = np.full((r, r), np.inf)
+    np.fill_diagonal(ub, 0.0)
+    res = t2.solve(ub)
+    stats.lps += r
+    for j in range(r):
+        if res.status[j] != simplex.OPTIMAL:
+            sol.status = (SolStatus.INFEASIBLE
+                          if res.status[j] == simplex.INFEASIBLE
+                          else SolStatus.UNBOUNDED)
+            return None
+        val = np.empty(q)
+        val[:] = sol.R[:, j]
+        val[q - 1] = res.obj[j]
+        primg = None
+        if pre:
+            primg = np.concatenate([
+                t2.duals_u(res)[j] * (1 if vlp.optdir == 1 else -1),
+                sol.R[:, j] * (1 if sol.c_dir.value > 0 else -1)])
+        pair.add_vertex(val, ideal=False, primg=primg)
+    if not pair.initial_approx():
+        raise RuntimeError("phase2_primal: initial approximation failed")
+
+    # PART 2: batched main loop
+    _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase2, stats,
+                        phase1=False, pre_img=bool(pre), optdir=vlp.optdir)
+
+    # pre-images for the directions of the upper image: re-template
+    # P2-homogeneous with the eta row disabled (bslv_algs.c:1084-1114)
+    if pre:
+        _direction_preimages(sol, vlp, P_eff, pair.primal, stats)
+        # directions of the lower image get zero pre-images
+        # (bslv_algs.c:1117-1123)
+        D = pair.dual
+        for i in D.live():
+            if D.ideal[i]:
+                D.primg[i, : D.dim_primg] = 0.0
+    return pair
+
+
+def _direction_preimages(sol: SolutionContext, vlp: VLPProblem,
+                         P_eff: np.ndarray, poly, stats: Stats) -> None:
+    """Solve P2-hom (eta row freed) for every ideal vertex of the upper
+    image and store x as its pre-image."""
+    t2h = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS)
+    idxs = [int(i) for i in poly.live() if poly.ideal[i]]
+    if not idxs:
+        return
+    dirs = poly.data[idxs]                 # (B, q)
+    res = t2h.solve(dirs @ sol.Z, eta_ub=np.inf)
+    stats.lps += len(idxs)
+    _check_all_optimal(res, "direction pre-images")
+    X = t2h.primal_x(res)
+    for k, i in enumerate(idxs):
+        poly.primg[i, : vlp.n] = X[k]
+
+
+def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
+                opt: Options, stats: Stats) -> PolytopePair:
+    """Homogeneous dual Benson on the lower image (reference
+    bslv_algs.c:1248-1371).  The pair's primal polytope is the LOWER
+    image; upper-image points arrive as dual vertices."""
+    q = sol.q
+    pair = PolytopePair(q, eps=POLY_EPS,
+                        dual_v2h=make_upper_to_lower_v2h(sol.c))
+    t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS)
+
+    # PART 1: weighted LP at the mean of Z plus Y columns as directions
+    w0 = sol.Z.mean(axis=1)
+    res = t1.solve(w0[None])
+    stats.lps += 1
+    _check_all_optimal(res, "phase1_dual init")
+    pair.add_vertex(t1.primal_y(res)[0], ideal=False)
+    for j in range(sol.o):
+        pair.add_vertex(sol.Y[:, j], ideal=True)
+    if not pair.initial_approx():
+        raise RuntimeError("phase1_dual: initial approximation failed")
+
+    _benson_dual_loop(pair, t1, sol, opt.eps_benson_phase1, stats)
+    _extract_R_H(sol, pair.primal, opt, stats)
+    return pair
+
+
+def _w_of_ystar(V: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """w(y*) = (y*_1..y*_{q-1}, 1 - sum_i c_i y*_i) (bslv_algs.c:1313)."""
+    B, q = V.shape
+    W = np.empty((B, q))
+    W[:, : q - 1] = V[:, : q - 1]
+    W[:, q - 1] = 1.0 - V[:, : q - 1] @ c[: q - 1]
+    return W
+
+
+def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
+                      sol: SolutionContext, eps: float, stats: Stats,
+                      *, pre_img: bool = False, optdir: int = 1,
+                      allow_unbounded: bool = False) -> SolStatus | None:
+    """Shared main loop of the dual phases: per round, solve P1(w(y*))
+    for every unprocessed vertex y* of the lower-image approximation."""
+    P = pair.primal
+    q = sol.q
+    while True:
+        frontier = P.frontier()
+        if frontier.size == 0:
+            break
+        ideals = frontier[P.ideal[frontier]]
+        P.sltn[ideals] = True
+        cand = frontier[~P.ideal[frontier]]
+        if cand.size == 0:
+            continue
+        stats.rounds += 1
+        V = P.data[cand].copy()
+        W = _w_of_ystar(V, sol.c)
+        res = t1.solve(W)
+        stats.lps += cand.size
+        if allow_unbounded:
+            for i in range(cand.size):
+                if res.status[i] == simplex.UNBOUNDED:
+                    return SolStatus.UNBOUNDED
+        _check_all_optimal(res, "dual Benson loop")
+        Y = t1.primal_y(res)
+        progressed = False
+        for i, idx in enumerate(cand):
+            idx = int(idx)
+            if not P.used[idx]:
+                continue
+            if V[i, q - 1] - res.obj[i] > eps:
+                primg = t1.primal_x(res)[i] if pre_img else None
+                if pair.add_vertex(Y[i], ideal=False, primg=primg):
+                    stats.cuts += 1
+                    progressed = True
+            else:
+                P.sltn[idx] = True
+                progressed = True
+                if pre_img:
+                    u = t1.duals_u(res)[i] * (1 if optdir == 1 else -1)
+                    w = W[i] * (1 if sol.c_dir.value > 0 else -1)
+                    P.primg[idx, : u.size + q] = np.concatenate([u, w])
+        if not progressed:
+            P.sltn[cand] = True
+            break
+    return None
+
+
+def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
+                opt: Options, stats: Stats) -> PolytopePair | None:
+    """Inhomogeneous dual Benson (reference bslv_algs.c:1381-1592,
+    computation part)."""
+    q = sol.q
+    pre = opt.solution
+    pair = PolytopePair(q, eps=POLY_EPS,
+                        dual_v2h=make_upper_to_lower_v2h(sol.c),
+                        dim_primg_primal=vlp.m + q if pre else 0,
+                        dim_primg_dual=vlp.n if pre else 0)
+    t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS)
+
+    # PART 1: weighted LP at the mean of R plus H columns as directions
+    w0 = sol.R.mean(axis=1)
+    res = t1.solve(w0[None])
+    stats.lps += 1
+    if res.status[0] != simplex.OPTIMAL:
+        sol.status = (SolStatus.INFEASIBLE
+                      if res.status[0] == simplex.INFEASIBLE
+                      else SolStatus.UNBOUNDED)
+        return None
+    primg = t1.primal_x(res)[0] if pre else None
+    pair.add_vertex(t1.primal_y(res)[0], ideal=False, primg=primg)
+    for j in range(sol.h):
+        pair.add_vertex(sol.H[:, j], ideal=True)
+    if not pair.initial_approx():
+        raise RuntimeError("phase2_dual: initial approximation failed")
+
+    status = _benson_dual_loop(pair, t1, sol, opt.eps_benson_phase2, stats,
+                               pre_img=bool(pre), optdir=vlp.optdir,
+                               allow_unbounded=True)
+    if status is not None:
+        sol.status = status
+        return None
+
+    if pre:
+        # facet pre-images: ideal DUAL vertices are upper-image
+        # directions (bslv_algs.c:1514-1543; note the reference's Z
+        # stride bug at :1535 — Z is indexed with stride r instead of p;
+        # we index Z correctly)
+        _direction_preimages(sol, vlp, P_eff, pair.dual, stats)
+        for i in pair.primal.live():
+            if pair.primal.ideal[i]:
+                pair.primal.primg[i, : pair.primal.dim_primg] = 0.0
+    return pair

@@ -22,6 +22,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running acceptance tests")
+
+
 REFERENCE_EX = "/root/reference/ex"
 
 

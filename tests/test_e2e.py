@@ -1,0 +1,207 @@
+"""End-to-end acceptance tests on the reference example suite
+(/root/reference/ex, the behavior matrix of SURVEY.md section 4).
+
+Correctness oracle: support-function equality.  For the canonical min
+problem, the upper image U = P[feasible] + C has support value
+h(w) = min_x w'P_eff x for every w in C*.  The solver's epsilon-solution
+(points V, directions D) must satisfy min_{y in V} w'y == h(w) within
+epsilon for sampled w in the interior of C*, and every direction must
+have nonnegative support against such w.  h(w) is computed independently
+with scipy/HiGHS.
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from bensolve_tpu.algs.driver import solve
+from bensolve_tpu.algs.solution import SolStatus
+from bensolve_tpu.vlp.options import Alg, Options
+from bensolve_tpu.vlp.problem import VLPProblem
+from bensolve_tpu.vlp.reader import read_vlp
+
+EX = "/root/reference/ex"
+
+
+def scalarized_min(vlp, P_eff, w):
+    """min w'P_eff x over the VLP feasible set, via scipy (HiGHS)."""
+    m, n = vlp.A.shape
+    A_ub, b_ub, A_eq, b_eq = [], [], [], []
+    for i in range(m):
+        lo, hi = vlp.rows.lb[i], vlp.rows.ub[i]
+        if np.isfinite(lo) and lo == hi:
+            A_eq.append(vlp.A[i]); b_eq.append(lo)
+        else:
+            if np.isfinite(hi):
+                A_ub.append(vlp.A[i]); b_ub.append(hi)
+            if np.isfinite(lo):
+                A_ub.append(-vlp.A[i]); b_ub.append(-lo)
+    kw = {}
+    if A_ub:
+        kw["A_ub"], kw["b_ub"] = np.array(A_ub), np.array(b_ub)
+    if A_eq:
+        kw["A_eq"], kw["b_eq"] = np.array(A_eq), np.array(b_eq)
+    res = linprog(w @ P_eff, bounds=list(zip(vlp.cols.lb, vlp.cols.ub)),
+                  method="highs", **kw)
+    if res.status == 3:
+        return -np.inf
+    assert res.status == 0, res.message
+    return res.fun
+
+
+def canonical_P(vlp, sol):
+    """P of the canonical min/c_q>0 problem (sign flips of
+    bslv_vlp.c:856-861)."""
+    flip = (sol.c_dir.value < 0) == (vlp.optdir == 1)
+    return (-vlp.P if flip else vlp.P).astype(float)
+
+
+def canonical_points(result):
+    """Solution points/directions mapped back to canonical min form
+    (undo poly_trans_primal/dual output transforms)."""
+    vlp, sol = result.vlp, result.sol
+    pts = result.primal_points.copy()
+    dirs = result.primal_directions.copy()
+    pos = sol.c_dir.value > 0
+    if pos and vlp.optdir == -1 or (not pos and vlp.optdir == 1):
+        pts, dirs = -pts, -dirs
+    return pts, dirs
+
+
+def check_support(result, n_samples=64, tol=1e-5):
+    vlp, sol = result.vlp, result.sol
+    P_eff = canonical_P(vlp, sol)
+    pts, dirs = canonical_points(result)
+    assert pts.shape[0] > 0
+    rng = np.random.default_rng(0)
+    q = vlp.q
+    for _ in range(n_samples):
+        lam = rng.random(sol.p) + 1e-3
+        w = sol.Z @ lam
+        w = w / np.abs(w).sum()
+        h_true = scalarized_min(vlp, P_eff, w)
+        h_hat = float(np.min(pts @ w))
+        scale = 1 + abs(h_true) if np.isfinite(h_true) else 1.0
+        if dirs.size and np.min(dirs @ w) < -1e-9:
+            h_hat = -np.inf  # unbounded along a computed direction
+        if not np.isfinite(h_true):
+            assert not np.isfinite(h_hat), (w, h_hat)
+        else:
+            assert abs(h_hat - h_true) <= tol * scale, (w, h_hat, h_true)
+
+
+def run(ex, **opt_kw):
+    vlp = read_vlp(f"{EX}/{ex}.vlp")
+    return solve(vlp, Options(**opt_kw))
+
+
+def test_ex01_exact():
+    r = run("ex01")
+    assert r.status is SolStatus.OPTIMAL
+    got = sorted(map(tuple, np.round(r.primal_points, 9)))
+    assert got == [(-6.0, 6.0), (0.0, 4.0)]
+    dirs = sorted(map(tuple, np.round(r.primal_directions, 9)))
+    assert dirs == [(-1.0, 1.0), (1.0, 0.0)]
+    duals = sorted(map(tuple, np.round(r.dual_points, 9)))
+    assert duals == [(0.0, 4.0), (0.25, 3.0), (0.5, 0.0)]
+    check_support(r)
+
+
+def test_ex02_infeasible():
+    assert run("ex02").status is SolStatus.INFEASIBLE
+
+
+def test_ex03_novertex():
+    assert run("ex03").status is SolStatus.NOVERTEX
+
+
+def test_ex04_totally_unbounded():
+    assert run("ex04").status is SolStatus.UNBOUNDED
+
+
+def test_ex05_cone_q3():
+    r = run("ex05")
+    assert r.status is SolStatus.OPTIMAL
+    check_support(r)
+
+
+def test_ex06_max_dualcone():
+    r = run("ex06")
+    assert r.status is SolStatus.OPTIMAL
+    # max problem: the primal image is written as a "lower image";
+    # support check runs on the canonical min form
+    check_support(r)
+
+
+def test_ex08_unbounded_with_directions():
+    r = run("ex08")
+    assert r.status is SolStatus.OPTIMAL
+    assert r.sol.pp >= 1 and r.sol.pp_dir >= 1
+    check_support(r)
+
+
+@pytest.mark.slow
+def test_ex11_q5_phase1_stress():
+    r = run("ex11")
+    assert r.status is SolStatus.OPTIMAL
+    # known structure: recession cone of the upper image has 22 extreme
+    # directions (ex/example11.m:1-2)
+    assert r.sol.pp_dir == 22
+    check_support(r, n_samples=16)
+
+
+def test_dual_algorithm_matches_primal():
+    r_p = run("ex01")
+    r_d = run("ex01", alg_phase1=Alg.DUAL, alg_phase2=Alg.DUAL)
+    assert r_d.status is SolStatus.OPTIMAL
+    got_p = sorted(map(tuple, np.round(r_p.primal_points, 6)))
+    got_d = sorted(map(tuple, np.round(r_d.primal_points, 6)))
+    assert got_p == got_d
+    check_support(r_d)
+
+
+def test_bounded_shortcut():
+    # ex01 restricted to a box is bounded; -b skips phases 0 and 1
+    vlp = read_vlp(f"{EX}/ex01.vlp")
+    vlp.cols.ub[:] = 50.0
+    vlp.cols.types[:] = "d"
+    r = solve(vlp, Options(bounded=True))
+    assert r.status is SolStatus.OPTIMAL
+    pts = sorted(map(tuple, np.round(r.primal_points, 6)))
+    assert (-6.0, 6.0) in pts and (0.0, 4.0) in pts
+
+
+def test_preimages_ex01():
+    r = run("ex01", solution=True)
+    assert r.status is SolStatus.OPTIMAL
+    P = r.pair.primal
+    vlp = r.vlp
+    for i in P.live():
+        if P.ideal[i]:
+            continue
+        x = P.primg[i, : vlp.n]
+        y = vlp.P @ x
+        assert np.allclose(y, P.data[i], atol=1e-6), (y, P.data[i])
+        s = vlp.A @ x
+        assert np.all(s >= vlp.rows.lb - 1e-7)
+        assert np.all(x >= vlp.cols.lb - 1e-9)
+
+
+def test_from_arrays_api():
+    # the prob2vlp.m-style front end builds the same problem as ex01.vlp
+    prob = VLPProblem.from_arrays(
+        P=[[1, -1], [1, 1]],
+        A=[[2, 1], [1, 2]],
+        a=[6, 6],
+        l=[0, 0],
+    )
+    r = solve(prob)
+    assert r.status is SolStatus.OPTIMAL
+    got = sorted(map(tuple, np.round(r.primal_points, 9)))
+    assert got == [(-6.0, 6.0), (0.0, 4.0)]
+
+
+def test_poly_test_option():
+    r = run("ex05", poly_test=True)
+    assert r.status is SolStatus.OPTIMAL
+    assert r.message == ""  # no invariant violations
