@@ -46,6 +46,17 @@ class _TemplateBase:
         self.row_lb_vlp, self.row_ub_vlp = rows.lb, rows.ub
         self.col_lb_vlp, self.col_ub_vlp = cols.lb, cols.ub
         self.homogeneous = homogeneous
+        # shared warm-start basis carried across Benson rounds (the
+        # batched analogue of GLPK's in-place warm start)
+        self._warm = None
+
+    def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub) -> LPResult:
+        res = simplex.solve_batch(A_lp, obj, row_lb, row_ub, col_lb, col_ub,
+                                  start_basis=self._warm)
+        ok = np.flatnonzero(res.status == simplex.OPTIMAL)
+        if ok.size and res.basis is not None:
+            self._warm = res.basis[int(ok[0])]
+        return res
 
     def _vlp_blocks(self):
         """Rows [A 0...], [-P I 0...] and their bounds; y columns free."""
@@ -101,7 +112,7 @@ class P2Template(_TemplateBase):
             np.zeros((B, q)),
             extra_ub,
             eta_ub[:, None]], axis=1)
-        return simplex.solve_batch(
+        return self._run(
             self.A_lp, np.broadcast_to(self.obj, (B, self.obj.size)),
             row_lb, row_ub,
             np.broadcast_to(self.col_lb, (B, self.col_lb.size)),
@@ -157,7 +168,7 @@ class P1Template(_TemplateBase):
             np.broadcast_to(self.row_ub_vlp, (B, m)),
             np.zeros((B, q)),
             eta_ub[:, None]], axis=1)
-        return simplex.solve_batch(
+        return self._run(
             self.A_lp, obj, row_lb, row_ub,
             np.broadcast_to(self.col_lb, (B, self.col_lb.size)),
             np.broadcast_to(self.col_ub, (B, self.col_ub.size)))

@@ -1,11 +1,11 @@
 """Batched dense bounded-variable primal simplex.
 
-This is the TPU-native replacement for the reference's single warm-started
-GLPK instance (bslv_lp.c:31, lp_solve bslv_lp.c:219-259).  Where the
-reference re-parameterizes ONE LP and solves candidates serially
-(bslv_algs.c:863-895), this solver takes a *batch* of LPs that share the
-constraint matrix but differ in objective and bounds, and pivots all of
-them in lockstep on device.
+This is the TPU-native replacement for the reference's single
+warm-started GLPK instance (bslv_lp.c:31, lp_solve bslv_lp.c:219-259).
+Where the reference re-parameterizes ONE LP and solves candidates
+serially (bslv_algs.c:863-895), this solver takes a *batch* of LPs that
+share the constraint matrix but differ in objective and bounds, and
+pivots all of them in lockstep on device.
 
 Formulation (GLPK-compatible, bslv_lp.h:60-105):
 
@@ -14,21 +14,29 @@ Formulation (GLPK-compatible, bslv_lp.h:60-105):
     bounds      lb <= z <= ub   (+-inf allowed, lb == ub means fixed)
     objective   min c' z        (c zero on auxiliaries in practice)
 
-All five GLPK bound types 'f','l','u','d','s' (bslv_lp.c:34-43) are plain
-(lb, ub) data here, so row/column type changes are batch data, not
+All five GLPK bound types 'f','l','u','d','s' (bslv_lp.c:34-43) are
+plain (lb, ub) data here, so row/column type changes are batch data, not
 structure.
 
-Algorithm: bounded-variable primal simplex with
-  * composite phase-1 (costs +-1 on out-of-bounds basic variables, no
-    artificial variables),
-  * Dantzig pricing with Bland's rule after a degeneracy stall,
-  * explicit basis inverse updated by elementary row operations and
-    refactorized periodically via QR (float64 QR/triangular-solve are
-    TPU-supported; LU is not),
-  * exact basic primal AND dual solutions (duals in GLPK sign convention:
-    row dual lambda_i >= 0 for a binding lower row bound of a min problem).
+Algorithm: bounded-variable primal *tableau* simplex:
 
-Statuses mirror lp_status_type (bslv_lp.h:44).
+  * state is the full tableau W = Binv @ E of shape (B, M, NT); one
+    pivot is a rank-1 update W -= alpha (x) w_r/alpha_r — pure fused
+    elementwise FMA, no factorizations, no O(M^3) work in the loop.
+    The basis inverse is never materialized separately: since
+    E = [I | -A], Binv IS the first M columns of W, so duals come free;
+  * composite phase-1 (costs +-1 on out-of-bounds basic variables, no
+    artificial variables);
+  * Dantzig pricing with Bland's rule after a degeneracy stall;
+  * basis bound/cost arrays (lbB/ubB/cB) maintained incrementally (one
+    scatter per pivot) instead of per-iteration gathers;
+  * one accurate re-solve at termination: the basis system is
+    refactorized once (batched LU) to deliver primal and dual solutions
+    at factorization accuracy regardless of rank-1 drift.
+
+Statuses mirror lp_status_type (bslv_lp.h:44).  Exact basic primal AND
+dual solutions are returned (duals in GLPK sign convention: row dual
+lambda_i >= 0 for a binding lower row bound of a min problem).
 """
 
 from __future__ import annotations
@@ -47,11 +55,15 @@ INFEASIBLE = 2
 UNBOUNDED = 3
 ITLIM = 4
 
-TOL_BND = 1e-9   # primal feasibility tolerance
-TOL_DJ = 1e-9    # dual feasibility (reduced cost) tolerance
-TOL_PIV = 1e-11  # smallest admissible pivot magnitude
 BLAND_AFTER = 64  # consecutive degenerate steps before switching to Bland
-REFACTOR_EVERY = 64
+
+
+def _tols(dtype):
+    """(feasibility, reduced-cost, pivot) tolerances per dtype.  float64
+    matches GLPK-era 1e-9; float32 (native TPU arithmetic) is looser."""
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        return 1e-5, 1e-5, 1e-6
+    return 1e-9, 1e-9, 1e-11
 
 
 @dataclasses.dataclass
@@ -66,6 +78,7 @@ class LPResult:
     row_dual: np.ndarray  # (B, M) row duals, GLPK sign
     col_dual: np.ndarray  # (B, N) reduced costs of structural variables
     iters: np.ndarray     # (B,) pivot count
+    basis: np.ndarray | None = None  # (B, M) final basis (warm-start seed)
 
 
 def _nb_value(lb, ub, at_upper):
@@ -86,14 +99,6 @@ def _e_rmatmul(A, y):
     return jnp.concatenate([y, -(y @ A)], axis=-1)
 
 
-def _e_column(A, j):
-    """Column j of E (scalar j, traced)."""
-    M, N = A.shape
-    eye_col = (jnp.arange(M) == j).astype(A.dtype)
-    a_col = -A[:, jnp.clip(j - M, 0, N - 1)]
-    return jnp.where(j < M, eye_col, a_col)
-
-
 def _build_basis_matrix(A, basis):
     """B matrix (M, M) whose columns are E[:, basis[k]]."""
     M, N = A.shape
@@ -103,19 +108,16 @@ def _build_basis_matrix(A, basis):
     return jnp.where(is_aux[None, :], eye_cols, a_cols)
 
 
-def _invert_via_qr(Bmat):
-    """Basis inverse through QR (f64-capable on TPU, unlike LU)."""
-    Q, R = jnp.linalg.qr(Bmat)
-    return jax.scipy.linalg.solve_triangular(R, Q.T, lower=False)
-
-
 @dataclasses.dataclass
 class _State:
     basis: jnp.ndarray      # (B, M) int32 variable index per basis slot
     in_basis: jnp.ndarray   # (B, NT) bool
     at_upper: jnp.ndarray   # (B, NT) bool (meaningful for nonbasic)
-    binv: jnp.ndarray       # (B, M, M)
+    W: jnp.ndarray          # (B, M, NT) tableau Binv @ E
     xb: jnp.ndarray         # (B, M) basic variable values
+    lbB: jnp.ndarray        # (B, M) bounds of basic variables
+    ubB: jnp.ndarray        # (B, M)
+    cB: jnp.ndarray         # (B, M) true costs of basic variables
     status: jnp.ndarray     # (B,) int32
     stall: jnp.ndarray      # (B,) int32 consecutive degenerate steps
     iters: jnp.ndarray      # (B,) int32
@@ -124,54 +126,72 @@ class _State:
 
 jax.tree_util.register_dataclass(
     _State,
-    data_fields=["basis", "in_basis", "at_upper", "binv", "xb", "status",
-                 "stall", "iters", "step"],
+    data_fields=["basis", "in_basis", "at_upper", "W", "xb", "lbB", "ubB",
+                 "cB", "status", "stall", "iters", "step"],
     meta_fields=[],
 )
 
 
-def _initial_state(A, c, lb, ub):
+def _initial_state(A, c, lb, ub, basis0=None):
+    """Initial tableau state.  With ``basis0`` (a shared (M,) basis, e.g.
+    the optimal basis of a previous Benson round's LP) the whole batch
+    warm-starts from one factorization: W0 = Binv @ E is identical
+    across the batch and costs a single (M, M) LU — the TPU-native
+    analogue of GLPK's warm start from the previous solve
+    (bslv_lp.c:219-227)."""
     B, NT = c.shape
     M, N = A.shape
-    basis = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None, :], (B, 1))
-    in_basis = jnp.tile(
-        jnp.concatenate([jnp.ones(M, bool), jnp.zeros(N, bool)])[None, :], (B, 1)
-    )
-    at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub)
+    dtype = c.dtype
+    E = jnp.concatenate([jnp.eye(M, dtype=dtype), -A], axis=1)   # (M, NT)
+    if basis0 is None:
+        basis = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None, :], (B, 1))
+        in_basis1 = jnp.concatenate([jnp.ones(M, bool), jnp.zeros(N, bool)])
+        W0 = E
+    else:
+        basis0 = jnp.asarray(basis0, jnp.int32)
+        basis = jnp.broadcast_to(basis0[None, :], (B, M))
+        in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
+        Bmat = _build_basis_matrix(A, basis0)
+        lu, piv = jax.scipy.linalg.lu_factor(Bmat)
+        W0 = jax.scipy.linalg.lu_solve((lu, piv), E)
+    in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
+    at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
     zn = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
-    xb = -_e_matmul(A, zn)  # rhs of E z = 0 given nonbasic rest values
-    binv = jnp.tile(jnp.eye(M, dtype=c.dtype)[None], (B, 1, 1))
+    # xb solves B xb = -E zn;  Binv(-E zn) = -W0 @ zn
+    xb = -jnp.einsum("mn,bn->bm", W0, zn)
+    W = jnp.broadcast_to(W0[None], (B, M, NT)) + jnp.zeros((B, 1, 1), dtype)
     zeros = jnp.zeros(B, jnp.int32)
+    lbB = jnp.take_along_axis(lb, basis, axis=1)
+    ubB = jnp.take_along_axis(ub, basis, axis=1)
+    cB = jnp.take_along_axis(c, basis, axis=1)
     # crossed bounds (lb > ub) make an instance trivially infeasible, and
     # the phase-1 machinery cannot see them on NONBASIC variables (a
     # variable resting at lb quietly violates ub); reject upfront
     crossed = jnp.any(lb > ub, axis=1)
     status = jnp.where(crossed, INFEASIBLE, zeros)
-    return _State(basis, in_basis, at_upper, binv, xb,
+    return _State(basis, in_basis, at_upper, W, xb,
+                  lbB, ubB, cB,
                   status, zeros, zeros, jnp.int32(0))
 
 
 def _step(A, c, lb, ub, st: _State) -> _State:
+    TOL_BND, TOL_DJ, TOL_PIV = _tols(c.dtype)
     B, NT = c.shape
     M, N = A.shape
     batch = jnp.arange(B)
     running = st.status == RUNNING
 
-    lbB = jnp.take_along_axis(lb, st.basis, axis=1)
-    ubB = jnp.take_along_axis(ub, st.basis, axis=1)
-
-    viol_lo = st.xb < lbB - TOL_BND
-    viol_up = st.xb > ubB + TOL_BND
+    viol_lo = st.xb < st.lbB - TOL_BND
+    viol_up = st.xb > st.ubB + TOL_BND
     feasible = ~jnp.any(viol_lo | viol_up, axis=1)                 # (B,)
 
     # effective costs: true costs in phase 2, +-1 on violating basics in ph.1
-    cB_true = jnp.take_along_axis(c, st.basis, axis=1)
     cB1 = jnp.where(viol_up, 1.0, 0.0) + jnp.where(viol_lo, -1.0, 0.0)
-    cB_eff = jnp.where(feasible[:, None], cB_true, cB1)
+    cB_eff = jnp.where(feasible[:, None], st.cB, cB1).astype(c.dtype)
 
-    # duals and reduced costs: y = B^-T cB, d = c_eff - E^T y
-    y = jnp.einsum("bm,bmk->bk", cB_eff, st.binv)                  # (B, M)
-    d = jnp.where(feasible[:, None], c, 0.0) - _e_rmatmul(A, y)    # (B, NT)
+    # reduced costs d = c_eff - cB_eff @ W (duals y never materialized)
+    d = jnp.where(feasible[:, None], c, 0.0) - jnp.einsum(
+        "bm,bmn->bn", cB_eff, st.W)
 
     # entering variable
     val = _nb_value(lb, ub, st.at_upper)
@@ -194,18 +214,18 @@ def _step(A, c, lb, ub, st: _State) -> _State:
 
     sigma = jnp.where(
         jnp.take_along_axis(elig_inc, q_idx[:, None], axis=1)[:, 0], 1.0, -1.0
-    )
+    ).astype(c.dtype)
 
-    # pivot column alpha = Binv E_q, basic rates per unit entering increase
-    e_col = jax.vmap(_e_column, in_axes=(None, 0))(A, q_idx)       # (B, M)
-    alpha = jnp.einsum("bmk,bk->bm", st.binv, e_col)
+    # pivot column alpha = Binv E_q = W[:, :, q]
+    alpha = jnp.take_along_axis(
+        st.W, q_idx[:, None, None], axis=2)[:, :, 0]               # (B, M)
     rate = -sigma[:, None] * alpha                                 # dxB/dt
 
     # ratio test (composite phase-1 aware, short-step rule)
     inc = rate > TOL_PIV
     dec = rate < -TOL_PIV
-    target_inc = jnp.where(viol_lo, lbB, ubB)
-    target_dec = jnp.where(viol_up, ubB, lbB)
+    target_inc = jnp.where(viol_lo, st.lbB, st.ubB)
+    target_dec = jnp.where(viol_up, st.ubB, st.lbB)
     t_inc = jnp.where(viol_up, jnp.inf, (target_inc - st.xb) / rate)
     t_dec = jnp.where(viol_lo, jnp.inf, (target_dec - st.xb) / rate)
     t = jnp.where(inc, t_inc, jnp.where(dec, t_dec, jnp.inf))
@@ -239,15 +259,17 @@ def _step(A, c, lb, ub, st: _State) -> _State:
     xb_new = st.xb - delta[:, None] * alpha
 
     do_pivot = act & ~do_flip
-    # basis change
     alpha_r = jnp.take_along_axis(alpha, r_idx[:, None], axis=1)[:, 0]
     alpha_r = jnp.where(jnp.abs(alpha_r) < TOL_PIV,
                         jnp.where(alpha_r < 0, -TOL_PIV, TOL_PIV), alpha_r)
-    onehot_r = jax.nn.one_hot(r_idx, M, dtype=c.dtype)
-    factor = (alpha - onehot_r) / alpha_r[:, None]
-    binv_r = jnp.take_along_axis(st.binv, r_idx[:, None, None], axis=1)
-    binv_new = st.binv - factor[:, :, None] * binv_r
-    binv_new = jnp.where(do_pivot[:, None, None], binv_new, st.binv)
+
+    # rank-1 tableau update: W_i -= alpha_i * (w_r/alpha_r), W_r = w_r/alpha_r
+    w_r = jnp.take_along_axis(
+        st.W, r_idx[:, None, None], axis=1)[:, 0, :]               # (B, NT)
+    w_r_scaled = w_r / alpha_r[:, None]
+    W_upd = st.W - alpha[:, :, None] * w_r_scaled[:, None, :]
+    W_upd = W_upd.at[batch, r_idx, :].set(w_r_scaled)
+    W_new = jnp.where(do_pivot[:, None, None], W_upd, st.W)
 
     leaving = jnp.take_along_axis(st.basis, r_idx[:, None], axis=1)[:, 0]
     entering_val = _nb_value(lb, ub, st.at_upper)
@@ -260,6 +282,15 @@ def _step(A, c, lb, ub, st: _State) -> _State:
     )
     basis_upd = st.basis.at[batch, r_idx].set(q_idx.astype(jnp.int32))
     basis_new = jnp.where(do_pivot[:, None], basis_upd, st.basis)
+
+    # incremental basis metadata at slot r
+    cB_q = jnp.take_along_axis(c, q_idx[:, None], axis=1)[:, 0]
+    lbB_new = jnp.where(do_pivot[:, None],
+                        st.lbB.at[batch, r_idx].set(lb_q), st.lbB)
+    ubB_new = jnp.where(do_pivot[:, None],
+                        st.ubB.at[batch, r_idx].set(ub_q), st.ubB)
+    cB_new = jnp.where(do_pivot[:, None],
+                       st.cB.at[batch, r_idx].set(cB_q), st.cB)
 
     in_basis_upd = st.in_basis.at[batch, q_idx].set(True)
     in_basis_upd = in_basis_upd.at[batch, leaving].set(False)
@@ -285,31 +316,48 @@ def _step(A, c, lb, ub, st: _State) -> _State:
     stall_new = jnp.where(act, jnp.where(degen, st.stall + 1, 0), st.stall)
     iters_new = st.iters + act.astype(jnp.int32)
 
-    st2 = _State(basis_new, in_basis_new, at_upper_new, binv_new, xb_new,
-                 new_status, stall_new, iters_new, st.step + 1)
+    return _State(basis_new, in_basis_new, at_upper_new, W_new, xb_new,
+                  lbB_new, ubB_new, cB_new,
+                  new_status, stall_new, iters_new, st.step + 1)
 
-    # periodic refactorization for numerical hygiene
-    def refactor(s):
-        bmat = jax.vmap(_build_basis_matrix, in_axes=(None, 0))(A, s.basis)
-        binv = jax.vmap(_invert_via_qr)(bmat)
-        zn = jnp.where(s.in_basis, 0.0, _nb_value(lb, ub, s.at_upper))
-        rhs = -_e_matmul(A, zn)
-        xb = jnp.einsum("bmk,bk->bm", binv, rhs)
-        keep = (s.status != RUNNING)[:, None]
-        return dataclasses.replace(
-            s,
-            binv=jnp.where(keep[:, :, None], s.binv, binv),
-            xb=jnp.where(keep, s.xb, xb),
-        )
 
-    st2 = jax.lax.cond(st2.step % REFACTOR_EVERY == 0, refactor,
-                       lambda s: s, st2)
-    return st2
+def _final_solutions(A, c, lb, ub, st: _State):
+    """Accurate primal/dual recovery at termination: refactorize the
+    final basis once (batched LU) so results do not inherit rank-1
+    drift from the pivot loop."""
+    B, NT = c.shape
+    M, N = A.shape
+    batch = jnp.arange(B)
+
+    Bmat = jax.vmap(_build_basis_matrix, in_axes=(None, 0))(A, st.basis)
+    zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
+    rhs = -_e_matmul(A, zn)                                        # (B, M)
+    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Bmat)
+    xb = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), rhs)
+    y = jax.vmap(lambda f, p, b: jax.scipy.linalg.lu_solve((f, p), b,
+                                                           trans=1))(
+        lu, piv, st.cB)
+
+    z = zn.at[batch[:, None], st.basis].set(xb)
+    obj = jnp.sum(c * z, axis=1)
+    d = c - _e_rmatmul(A, y)
+    row_dual = -y                 # GLPK sign convention
+    col_dual = d[:, M:]
+    return obj, z[:, M:], z[:, :M], row_dual, col_dual
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def _solve_batch_jit(A, c, lb, ub, max_iter):
-    st = _initial_state(A, c, lb, ub)
+    return _solve_core(A, c, lb, ub, None, max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _solve_batch_warm_jit(A, c, lb, ub, basis0, max_iter):
+    return _solve_core(A, c, lb, ub, basis0, max_iter)
+
+
+def _solve_core(A, c, lb, ub, basis0, max_iter):
+    st = _initial_state(A, c, lb, ub, basis0)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
@@ -317,18 +365,8 @@ def _solve_batch_jit(A, c, lb, ub, max_iter):
     st = jax.lax.while_loop(cond, lambda s: _step(A, c, lb, ub, st=s), st)
     status = jnp.where(st.status == RUNNING, ITLIM, st.status)
 
-    B = c.shape[0]
-    M, N = A.shape
-    batch = jnp.arange(B)
-    z = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
-    z = z.at[batch[:, None], st.basis].set(st.xb)
-    obj = jnp.sum(c * z, axis=1)
-    cB = jnp.take_along_axis(c, st.basis, axis=1)
-    y = jnp.einsum("bm,bmk->bk", cB, st.binv)
-    d = c - _e_rmatmul(A, y)
-    row_dual = -y                  # GLPK sign convention, see module docstring
-    col_dual = d[:, M:]
-    return status, obj, z[:, M:], z[:, :M], row_dual, col_dual, st.iters
+    obj, x, s_act, row_dual, col_dual = _final_solutions(A, c, lb, ub, st)
+    return status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis
 
 
 def _bucket(x: int) -> int:
@@ -341,39 +379,90 @@ def _bucket(x: int) -> int:
     return -(-x // step) * step
 
 
+MAX_CHUNK = 256  # largest batch shape compiled; bigger batches split
+TABLEAU_BYTES_BUDGET = 2 << 30  # cap on the (B, M, NT) tableau size
+
+
+def _auto_chunk(M: int, N: int, itemsize: int) -> int:
+    """Largest power-of-two batch whose tableau fits the byte budget."""
+    per = (M + 8) * (M + N + 16) * itemsize
+    cap = max(1, TABLEAU_BYTES_BUDGET // per)
+    return min(MAX_CHUNK, 1 << (cap.bit_length() - 1))
+
+
 def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
-                max_iter: int | None = None) -> LPResult:
+                max_iter: int | None = None, dtype=np.float64,
+                start_basis=None, max_chunk: int | None = None) -> LPResult:
     """Solve a batch of LPs sharing constraint matrix ``A`` (M, N).
 
     ``c``: (B, N) objective on structural variables.
     ``row_lb``/``row_ub``: (B, M); ``col_lb``/``col_ub``: (B, N).
+    ``dtype``: float64 (default; GLPK-grade tolerances) or float32
+    (native TPU arithmetic, looser tolerances — see _tols).
+    ``start_basis``: optional shared (M,) basis (variable indices in the
+    PADDED numbering: rows then columns) to warm-start every instance
+    from — typically ``result.basis[i]`` of a related previous solve.
+    ``max_chunk``: batches larger than this are processed in fixed-size
+    chunks, so arbitrarily large frontiers reuse ONE compiled shape and
+    the tableau memory stays bounded.
     """
-    A = np.asarray(A, np.float64)
+    if max_chunk is None:
+        Ma, Na = np.asarray(A).shape
+        chunk = _auto_chunk(Ma, Na, np.dtype(dtype).itemsize)
+    else:
+        chunk = max_chunk
+    c2 = np.atleast_2d(np.asarray(c))
+    if c2.shape[0] > chunk:
+        parts = []
+        for s in range(0, c2.shape[0], chunk):
+            sl = slice(s, s + chunk)
+            parts.append(solve_batch(
+                A, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
+                np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
+                max_iter=max_iter, dtype=dtype, start_basis=start_basis,
+                max_chunk=chunk))
+        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
+                          for f in dataclasses.fields(LPResult)))
+    A = np.asarray(A, dtype)
     M, N = A.shape
-    c = np.atleast_2d(np.asarray(c, np.float64))
+    c = np.atleast_2d(np.asarray(c, dtype))
     B = c.shape[0]
     Mp, Np = _bucket(M), _bucket(N)
+    # bucket the batch axis as well (next power of two: few shapes):
+    # Benson frontiers change size every round, and each distinct B
+    # would otherwise recompile.  Padding instances replicate row 0
+    # (real, terminating data); their results are sliced off below.
+    Bp = max(8, 1 << (B - 1).bit_length())
     if max_iter is None:
         # derived from the PADDED dims so it is as bucketed as the shapes
         max_iter = 50 * (Mp + Np) + 500
-    A_p = np.zeros((Mp, Np))
+    A_p = np.zeros((Mp, Np), dtype)
     A_p[:M, :N] = A
 
     def _pad(arr, k, kp, fill):
-        arr = np.asarray(arr, np.float64)
-        out = np.full((B, kp), fill)
-        out[:, :k] = arr
+        arr = np.asarray(arr, dtype)
+        out = np.full((Bp, kp), fill, dtype)
+        out[:B, :k] = arr
+        if Bp > B:
+            out[B:, :k] = arr[:1]
         return out
 
     full_c = np.concatenate(
-        [np.zeros((B, Mp)), _pad(c, N, Np, 0.0)], axis=1)
+        [np.zeros((Bp, Mp), dtype), _pad(c, N, Np, 0.0)], axis=1)
     lb = np.concatenate(
         [_pad(row_lb, M, Mp, -np.inf), _pad(col_lb, N, Np, 0.0)], axis=1)
     ub = np.concatenate(
         [_pad(row_ub, M, Mp, np.inf), _pad(col_ub, N, Np, 0.0)], axis=1)
 
-    out = _solve_batch_jit(jnp.asarray(A_p), jnp.asarray(full_c),
-                           jnp.asarray(lb), jnp.asarray(ub), max_iter)
-    status, obj, x, s, row_dual, col_dual, iters = (np.asarray(o) for o in out)
-    return LPResult(status, obj, x[:, :N], s[:, :M],
-                    row_dual[:, :M], col_dual[:, :N], iters)
+    if start_basis is None:
+        out = _solve_batch_jit(jnp.asarray(A_p), jnp.asarray(full_c),
+                               jnp.asarray(lb), jnp.asarray(ub), max_iter)
+    else:
+        out = _solve_batch_warm_jit(
+            jnp.asarray(A_p), jnp.asarray(full_c), jnp.asarray(lb),
+            jnp.asarray(ub), jnp.asarray(start_basis, jnp.int32), max_iter)
+    (status, obj, x, s, row_dual, col_dual, iters, basis) = (
+        np.asarray(o) for o in out)
+    return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],
+                    row_dual[:B, :M], col_dual[:B, :N], iters[:B],
+                    basis[:B])
