@@ -36,6 +36,7 @@ class VLPSolution:
     stats: Stats = dataclasses.field(default_factory=Stats)
     time_ms: float = 0.0
     message: str = ""
+    plot_swap_pair: PolytopePair | None = None  # untransformed swapped pair (-p)
 
     def _images(self):
         if self.swap:
@@ -157,6 +158,20 @@ def solve(vlp: VLPProblem, opt: Options | None = None) -> VLPSolution:
             msg = "LP in phase 2 is not bounded, probably by inaccuracy in phase 1"
         return VLPSolution(sol.status, vlp, opt, sol, stats=stats, message=msg)
 
+    # save the swapped-role pair for plotting BEFORE the output
+    # transforms (bslv_algs.c:1125-1134 / :1554-1563)
+    plot_swap_pair = None
+    if opt.plot and vlp.q == 3:
+        from bensolve_tpu.poly.polytope import (make_lower_to_upper_v2h,
+                                                make_upper_to_lower_v2h)
+
+        v2h = (make_upper_to_lower_v2h(sol.c) if not swap
+               else make_lower_to_upper_v2h(sol.c))
+        plot_swap_pair = PolytopePair(vlp.q, dual_v2h=v2h)
+        pair.swap(plot_swap_pair)
+        plot_swap_pair.chop()
+        plot_swap_pair.normalize_directions()
+
     # output epilogue (bslv_algs.c:1125-1146 / :1554-1575)
     if not swap:
         trans_primal(vlp, sol, pair)
@@ -169,7 +184,7 @@ def solve(vlp: VLPProblem, opt: Options | None = None) -> VLPSolution:
     sol.status = SolStatus.OPTIMAL
     _count(sol, pair, swap)
     res = VLPSolution(SolStatus.OPTIMAL, vlp, opt, sol, pair, swap, stats,
-                      time_ms)
+                      time_ms, plot_swap_pair=plot_swap_pair)
     if opt.poly_test:
         errs = pair.check()
         if errs:
@@ -206,4 +221,34 @@ def solve_file(path: str, opt: Options | None = None) -> VLPSolution:
         writers.write_log(base + ".log", problem_file=path, vlp=vlp,
                           sol=result.sol, opt=opt, time_ms=result.time_ms,
                           n_lps=result.stats.lps)
+        if opt.plot and vlp.q == 3 and result.plot_swap_pair is not None:
+            _write_plots(result, base)
     return result
+
+
+def _write_plots(result: VLPSolution, base: str) -> None:
+    """OFF/INST graphics (reference plot epilogue, bslv_algs.c:1148-1156
+    / :1580-1588): the cuts mutate the pairs, so this runs only after
+    the solution files are on disk."""
+    from bensolve_tpu.io import plot
+
+    vlp, sol, opt = result.vlp, result.sol, result.opt
+    pair, swap_pair = result.pair, result.plot_swap_pair
+    if not result.swap:
+        # primal algorithm: pair = upper image, swap_pair = lower image
+        trans_primal(vlp, sol, pair)                 # undo display transform
+        widths = plot.cut_primal_for_plot(pair, sol)
+        trans_primal(vlp, sol, pair)                 # re-apply for display
+        plot.write_plot_files(pair, base, "p", widths)
+        scales = plot.cut_dual_for_plot(swap_pair)
+        trans_dual(vlp, sol, swap_pair)
+        plot.write_plot_files(swap_pair, base, "d", scales)
+    else:
+        # dual algorithm: pair's primal polytope is the lower image
+        trans_dual(vlp, sol, pair)                   # undo
+        scales = plot.cut_dual_for_plot(pair)
+        trans_dual(vlp, sol, pair)
+        plot.write_plot_files(pair, base, "d", scales)
+        widths = plot.cut_primal_for_plot(swap_pair, sol)
+        trans_primal(vlp, sol, swap_pair)
+        plot.write_plot_files(swap_pair, base, "p", widths)

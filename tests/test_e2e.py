@@ -205,3 +205,31 @@ def test_poly_test_option():
     r = run("ex05", poly_test=True)
     assert r.status is SolStatus.OPTIMAL
     assert r.message == ""  # no invariant violations
+
+
+def test_plot_output(tmp_path):
+    from bensolve_tpu.algs.driver import solve_file
+    base = str(tmp_path / "ex05")
+    r = solve_file(f"{EX}/ex05.vlp", Options(plot=True, filename=base))
+    assert r.status is SolStatus.OPTIMAL
+    off = open(base + "_p.off").read().splitlines()
+    assert off[0] == "OFF"
+    nv, nf, _ = map(int, off[1].split())
+    assert nv > 3 and nf >= 4
+    # every facet line references valid vertex ids and forms a ring
+    facet_lines = [l for l in off if "\t" in l]
+    assert len(facet_lines) == nf
+    for line in facet_lines:
+        cnt, ids = line.split("\t")
+        ids = [int(t) for t in ids.split()]
+        assert len(ids) == int(cnt) and all(0 <= i < nv for i in ids)
+    assert "INST" in open(base + "_p.inst").read()
+    assert (tmp_path / "ex05_d.off").exists()
+    # dual algorithm produces the role-swapped plots too
+    base2 = str(tmp_path / "ex05b")
+    r2 = solve_file(f"{EX}/ex05.vlp",
+                    Options(plot=True, filename=base2,
+                            alg_phase1=Alg.DUAL, alg_phase2=Alg.DUAL))
+    assert r2.status is SolStatus.OPTIMAL
+    assert (tmp_path / "ex05b_p.off").exists()
+    assert (tmp_path / "ex05b_d.off").exists()
