@@ -113,9 +113,15 @@ def _count(sol, pair, swap: bool) -> None:
     sol.dd_dir = int(lo_ideal.sum())
 
 
-def solve(vlp: VLPProblem, opt: Options | None = None) -> VLPSolution:
+def solve(vlp: VLPProblem, opt: Options | None = None,
+          resume: str | None = None) -> VLPSolution:
     """Solve a VLP.  Pure computation — no files are written; see
-    solve_file for the CLI artifact family."""
+    solve_file for the CLI artifact family.
+
+    ``resume``: path to a phase-2 checkpoint written via
+    Options.checkpoint_path — phases 0/1 and the phase-2 seeding are
+    skipped and the main loop continues from the stored outer
+    approximation."""
     opt = opt if opt is not None else Options()
     stats = Stats()
     t0 = time.perf_counter()
@@ -124,6 +130,22 @@ def solve(vlp: VLPProblem, opt: Options | None = None) -> VLPSolution:
         sol, P_eff = sol_init(vlp, opt)
     except VLPInputError as e:
         return VLPSolution(SolStatus.INPUTERROR, vlp, opt, message=str(e))
+
+    if resume:
+        from bensolve_tpu.io.checkpoint import load_checkpoint
+
+        sol_chk, pair_chk, meta = load_checkpoint(resume)
+        sol_chk.cone_pair, sol_chk.cone_swap = sol.cone_pair, sol.cone_swap
+        sol = sol_chk
+        stats.lps, stats.rounds = meta["lps"], meta["round"]
+        swap = meta["phase"] == "phase2_dual"
+        if not swap:
+            pair = phases.phase2_primal(sol, vlp, P_eff, opt, stats,
+                                        resume_pair=pair_chk)
+        else:
+            pair = phases.phase2_dual(sol, vlp, P_eff, opt, stats,
+                                      resume_pair=pair_chk)
+        return _finish(vlp, opt, sol, pair, swap, stats, t0)
 
     if opt.bounded:
         phases.phase2_init(sol)
@@ -148,7 +170,12 @@ def solve(vlp: VLPProblem, opt: Options | None = None) -> VLPSolution:
         pair = phases.phase2_primal(sol, vlp, P_eff, opt, stats)
     else:
         pair = phases.phase2_dual(sol, vlp, P_eff, opt, stats)
+    return _finish(vlp, opt, sol, pair, swap, stats, t0)
 
+
+def _finish(vlp, opt, sol, pair, swap, stats, t0) -> VLPSolution:
+    """Status short-circuits + output epilogue shared by fresh and
+    resumed solves."""
     if sol.status in (SolStatus.INFEASIBLE, SolStatus.UNBOUNDED):
         if sol.status is SolStatus.INFEASIBLE:
             msg = "VLP is infeasible"

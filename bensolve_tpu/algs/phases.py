@@ -176,7 +176,7 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
 def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                         sol: SolutionContext, eps: float, stats: Stats,
                         *, phase1: bool, pre_img: bool = False,
-                        optdir: int = 1) -> None:
+                        optdir: int = 1, on_round=None) -> None:
     """Shared main loop of the primal phases: per round, solve P2(v) for
     every unprocessed non-ideal vertex v of the outer approximation and
     either cut (obj > eps) or finalize the vertex."""
@@ -237,6 +237,8 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
             # its own eps-passing cut); defensive stall guard
             P.sltn[cand] = True
             break
+        if on_round is not None:
+            on_round(pair, stats)
 
 
 def phase2_init(sol: SolutionContext) -> None:
@@ -246,46 +248,73 @@ def phase2_init(sol: SolutionContext) -> None:
     sol.H = sol.Y.copy()
 
 
+def _checkpoint_cb(opt: Options, sol: SolutionContext, phase: str,
+                   v2h_kind: str):
+    """Build the per-round snapshot callback (None when disabled)."""
+    if not opt.checkpoint_path:
+        return None
+    from bensolve_tpu.io.checkpoint import save_checkpoint
+
+    counter = {"n": 0}
+
+    def cb(pair, stats):
+        counter["n"] += 1
+        if counter["n"] % max(opt.checkpoint_every, 1) == 0:
+            save_checkpoint(opt.checkpoint_path, sol=sol, pair=pair,
+                            phase=phase, v2h_kind=v2h_kind,
+                            round_no=stats.rounds, lps=stats.lps)
+
+    return cb
+
+
 def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
-                  opt: Options, stats: Stats) -> PolytopePair | None:
+                  opt: Options, stats: Stats,
+                  resume_pair: PolytopePair | None = None
+                  ) -> PolytopePair | None:
     """Inhomogeneous primal Benson on the upper image
     (reference bslv_algs.c:958-1161, computation part; output epilogue
-    lives in the driver)."""
+    lives in the driver).  ``resume_pair``: continue the main loop from
+    a checkpointed outer approximation instead of re-seeding."""
     q = sol.q
     pre = opt.solution
-    pair = PolytopePair(q, eps=POLY_EPS,
-                        dual_v2h=make_lower_to_upper_v2h(sol.c),
-                        dim_primg_primal=vlp.n if pre else 0,
-                        dim_primg_dual=vlp.m + q if pre else 0)
     t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS)
     r = sol.r
 
-    # PART 1: seed with one LP per column of R (bslv_algs.c:976-1018)
-    ub = np.full((r, r), np.inf)
-    np.fill_diagonal(ub, 0.0)
-    res = t2.solve(ub)
-    stats.lps += r
-    for j in range(r):
-        if res.status[j] != simplex.OPTIMAL:
-            sol.status = (SolStatus.INFEASIBLE
-                          if res.status[j] == simplex.INFEASIBLE
-                          else SolStatus.UNBOUNDED)
-            return None
-        val = np.empty(q)
-        val[:] = sol.R[:, j]
-        val[q - 1] = res.obj[j]
-        primg = None
-        if pre:
-            primg = np.concatenate([
-                t2.duals_u(res)[j] * (1 if vlp.optdir == 1 else -1),
-                sol.R[:, j] * (1 if sol.c_dir.value > 0 else -1)])
-        pair.add_vertex(val, ideal=False, primg=primg)
-    if not pair.initial_approx():
-        raise RuntimeError("phase2_primal: initial approximation failed")
+    if resume_pair is not None:
+        pair = resume_pair
+    else:
+        pair = PolytopePair(q, eps=POLY_EPS,
+                            dual_v2h=make_lower_to_upper_v2h(sol.c),
+                            dim_primg_primal=vlp.n if pre else 0,
+                            dim_primg_dual=vlp.m + q if pre else 0)
+        # PART 1: seed with one LP per column of R (bslv_algs.c:976-1018)
+        ub = np.full((r, r), np.inf)
+        np.fill_diagonal(ub, 0.0)
+        res = t2.solve(ub)
+        stats.lps += r
+        for j in range(r):
+            if res.status[j] != simplex.OPTIMAL:
+                sol.status = (SolStatus.INFEASIBLE
+                              if res.status[j] == simplex.INFEASIBLE
+                              else SolStatus.UNBOUNDED)
+                return None
+            val = np.empty(q)
+            val[:] = sol.R[:, j]
+            val[q - 1] = res.obj[j]
+            primg = None
+            if pre:
+                primg = np.concatenate([
+                    t2.duals_u(res)[j] * (1 if vlp.optdir == 1 else -1),
+                    sol.R[:, j] * (1 if sol.c_dir.value > 0 else -1)])
+            pair.add_vertex(val, ideal=False, primg=primg)
+        if not pair.initial_approx():
+            raise RuntimeError("phase2_primal: initial approximation failed")
 
     # PART 2: batched main loop
     _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase2, stats,
-                        phase1=False, pre_img=bool(pre), optdir=vlp.optdir)
+                        phase1=False, pre_img=bool(pre), optdir=vlp.optdir,
+                        on_round=_checkpoint_cb(opt, sol, "phase2_primal",
+                                                "lower2upper"))
 
     # pre-images for the directions of the upper image: re-template
     # P2-homogeneous with the eta row disabled (bslv_algs.c:1084-1114)
@@ -355,7 +384,8 @@ def _w_of_ystar(V: np.ndarray, c: np.ndarray) -> np.ndarray:
 def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
                       sol: SolutionContext, eps: float, stats: Stats,
                       *, pre_img: bool = False, optdir: int = 1,
-                      allow_unbounded: bool = False) -> SolStatus | None:
+                      allow_unbounded: bool = False,
+                      on_round=None) -> SolStatus | None:
     """Shared main loop of the dual phases: per round, solve P1(w(y*))
     for every unprocessed vertex y* of the lower-image approximation."""
     P = pair.primal
@@ -400,40 +430,50 @@ def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
         if not progressed:
             P.sltn[cand] = True
             break
+        if on_round is not None:
+            on_round(pair, stats)
     return None
 
 
 def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
-                opt: Options, stats: Stats) -> PolytopePair | None:
+                opt: Options, stats: Stats,
+                resume_pair: PolytopePair | None = None
+                ) -> PolytopePair | None:
     """Inhomogeneous dual Benson (reference bslv_algs.c:1381-1592,
     computation part)."""
     q = sol.q
     pre = opt.solution
-    pair = PolytopePair(q, eps=POLY_EPS,
-                        dual_v2h=make_upper_to_lower_v2h(sol.c),
-                        dim_primg_primal=vlp.m + q if pre else 0,
-                        dim_primg_dual=vlp.n if pre else 0)
     t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS)
 
-    # PART 1: weighted LP at the mean of R plus H columns as directions
-    w0 = sol.R.mean(axis=1)
-    res = t1.solve(w0[None])
-    stats.lps += 1
-    if res.status[0] != simplex.OPTIMAL:
-        sol.status = (SolStatus.INFEASIBLE
-                      if res.status[0] == simplex.INFEASIBLE
-                      else SolStatus.UNBOUNDED)
-        return None
-    primg = t1.primal_x(res)[0] if pre else None
-    pair.add_vertex(t1.primal_y(res)[0], ideal=False, primg=primg)
-    for j in range(sol.h):
-        pair.add_vertex(sol.H[:, j], ideal=True)
-    if not pair.initial_approx():
-        raise RuntimeError("phase2_dual: initial approximation failed")
+    if resume_pair is not None:
+        pair = resume_pair
+    else:
+        pair = PolytopePair(q, eps=POLY_EPS,
+                            dual_v2h=make_upper_to_lower_v2h(sol.c),
+                            dim_primg_primal=vlp.m + q if pre else 0,
+                            dim_primg_dual=vlp.n if pre else 0)
+        # PART 1: weighted LP at the mean of R plus H columns as directions
+        w0 = sol.R.mean(axis=1)
+        res = t1.solve(w0[None])
+        stats.lps += 1
+        if res.status[0] != simplex.OPTIMAL:
+            sol.status = (SolStatus.INFEASIBLE
+                          if res.status[0] == simplex.INFEASIBLE
+                          else SolStatus.UNBOUNDED)
+            return None
+        primg = t1.primal_x(res)[0] if pre else None
+        pair.add_vertex(t1.primal_y(res)[0], ideal=False, primg=primg)
+        for j in range(sol.h):
+            pair.add_vertex(sol.H[:, j], ideal=True)
+        if not pair.initial_approx():
+            raise RuntimeError("phase2_dual: initial approximation failed")
 
     status = _benson_dual_loop(pair, t1, sol, opt.eps_benson_phase2, stats,
                                pre_img=bool(pre), optdir=vlp.optdir,
-                               allow_unbounded=True)
+                               allow_unbounded=True,
+                               on_round=_checkpoint_cb(opt, sol,
+                                                       "phase2_dual",
+                                                       "upper2lower"))
     if status is not None:
         sol.status = status
         return None

@@ -66,6 +66,8 @@ class Options:
     write_files: bool = True       # emit the .sol/.log artifact family
     poly_test: bool = False        # run polytope integrity checks (POLY_TEST)
     lp_max_batch: int = 4096       # cap on LPs solved per device round
+    checkpoint_path: str = ""      # snapshot phase-2 state here per round
+    checkpoint_every: int = 1      # rounds between snapshots
 
     def fmt_file(self) -> str:
         """Format string for files: long unless explicitly short
