@@ -55,7 +55,8 @@ class _TemplateBase:
                                   start_basis=self._warm)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
-            self._warm = res.basis[int(ok[0])]
+            # carry basis AND nonbasic bound pattern into the next round
+            self._warm = (res.basis[int(ok[0])], res.at_upper[int(ok[0])])
         return res
 
     def _vlp_blocks(self):

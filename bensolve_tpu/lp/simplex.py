@@ -79,6 +79,7 @@ class LPResult:
     col_dual: np.ndarray  # (B, N) reduced costs of structural variables
     iters: np.ndarray     # (B,) pivot count
     basis: np.ndarray | None = None  # (B, M) final basis (warm-start seed)
+    at_upper: np.ndarray | None = None  # (B, M+N) nonbasic bound pattern
 
 
 def _nb_value(lb, ub, at_upper):
@@ -132,13 +133,17 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _initial_state(A, c, lb, ub, basis0=None):
+def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
     """Initial tableau state.  With ``basis0`` (a shared (M,) basis, e.g.
     the optimal basis of a previous Benson round's LP) the whole batch
     warm-starts from one factorization: W0 = Binv @ E is identical
     across the batch and costs a single (M, M) LU — the TPU-native
     analogue of GLPK's warm start from the previous solve
-    (bslv_lp.c:219-227)."""
+    (bslv_lp.c:219-227).  ``at_upper0`` additionally carries the
+    previous solution's nonbasic bound pattern; without it, every
+    nonbasic variable whose optimal rest bound differs from the default
+    guess costs one bound-flip iteration (box-constrained problems pay
+    hundreds)."""
     B, NT = c.shape
     M, N = A.shape
     dtype = c.dtype
@@ -155,7 +160,16 @@ def _initial_state(A, c, lb, ub, basis0=None):
         lu, piv = jax.scipy.linalg.lu_factor(Bmat)
         W0 = jax.scipy.linalg.lu_solve((lu, piv), E)
     in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
-    at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
+    if at_upper0 is None:
+        at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
+    else:
+        at_upper = jnp.broadcast_to(
+            jnp.asarray(at_upper0, bool)[None, :], (B, NT))
+        # only meaningful where resting at ub is actually possible
+        at_upper = at_upper & jnp.isfinite(ub) & ~in_basis
+        # a nonbasic with only an upper bound must rest there
+        at_upper = at_upper | ((~jnp.isfinite(lb)) & jnp.isfinite(ub)
+                               & ~in_basis)
     zn = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
     # xb solves B xb = -E zn;  Binv(-E zn) = -W0 @ zn
     xb = -jnp.einsum("mn,bn->bm", W0, zn)
@@ -352,12 +366,12 @@ def _solve_batch_jit(A, c, lb, ub, max_iter):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_batch_warm_jit(A, c, lb, ub, basis0, max_iter):
-    return _solve_core(A, c, lb, ub, basis0, max_iter)
+def _solve_batch_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
+    return _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0)
 
 
-def _solve_core(A, c, lb, ub, basis0, max_iter):
-    st = _initial_state(A, c, lb, ub, basis0)
+def _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0=None):
+    st = _initial_state(A, c, lb, ub, basis0, at_upper0)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
@@ -366,7 +380,8 @@ def _solve_core(A, c, lb, ub, basis0, max_iter):
     status = jnp.where(st.status == RUNNING, ITLIM, st.status)
 
     obj, x, s_act, row_dual, col_dual = _final_solutions(A, c, lb, ub, st)
-    return status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis
+    return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
+            st.at_upper)
 
 
 def _bucket(x: int) -> int:
@@ -399,9 +414,10 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
     ``row_lb``/``row_ub``: (B, M); ``col_lb``/``col_ub``: (B, N).
     ``dtype``: float64 (default; GLPK-grade tolerances) or float32
     (native TPU arithmetic, looser tolerances — see _tols).
-    ``start_basis``: optional shared (M,) basis (variable indices in the
-    PADDED numbering: rows then columns) to warm-start every instance
-    from — typically ``result.basis[i]`` of a related previous solve.
+    ``start_basis``: optional warm start — either a shared (M,) basis
+    (variable indices in the PADDED numbering: rows then columns) or a
+    tuple (basis, at_upper_pattern); typically ``result.basis[i]`` /
+    ``result.at_upper[i]`` of a related previous solve.
     ``max_chunk``: batches larger than this are processed in fixed-size
     chunks, so arbitrarily large frontiers reuse ONE compiled shape and
     the tableau memory stays bounded.
@@ -458,11 +474,16 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
         out = _solve_batch_jit(jnp.asarray(A_p), jnp.asarray(full_c),
                                jnp.asarray(lb), jnp.asarray(ub), max_iter)
     else:
+        if isinstance(start_basis, tuple):
+            b0, u0 = start_basis
+        else:
+            b0, u0 = start_basis, np.zeros(Mp + Np, bool)
         out = _solve_batch_warm_jit(
             jnp.asarray(A_p), jnp.asarray(full_c), jnp.asarray(lb),
-            jnp.asarray(ub), jnp.asarray(start_basis, jnp.int32), max_iter)
-    (status, obj, x, s, row_dual, col_dual, iters, basis) = (
+            jnp.asarray(ub), jnp.asarray(b0, jnp.int32),
+            jnp.asarray(u0, bool), max_iter)
+    (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],
                     row_dual[:B, :M], col_dual[:B, :N], iters[:B],
-                    basis[:B])
+                    basis[:B], at_upper[:B])
