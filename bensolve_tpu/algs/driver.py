@@ -123,6 +123,14 @@ def solve(vlp: VLPProblem, opt: Options | None = None,
     skipped and the main loop continues from the stored outer
     approximation."""
     opt = opt if opt is not None else Options()
+    if opt.profile_dir:
+        # device-level tracing (the reference's only instrumentation is
+        # wall-clock + LP count, bslv_main.c:389-390; see SURVEY.md §5)
+        import jax
+
+        with jax.profiler.trace(opt.profile_dir):
+            return solve(vlp, dataclasses.replace(opt, profile_dir=""),
+                         resume=resume)
     stats = Stats()
     t0 = time.perf_counter()
 
@@ -243,6 +251,22 @@ def solve_file(path: str, opt: Options | None = None) -> VLPSolution:
                 fmt=fmt_file, pre_img=False, ending=".cone")
 
     if result.status is SolStatus.OPTIMAL and opt.write_files:
+        # stdout image listing at message level >= 1 (poly_output,
+        # bslv_algs.c:78-84), short format unless -f long
+        if opt.message_level >= 1:
+            fmt_out = (writers.FORMAT_LONG_STR
+                       if opt.format is Format.LONG
+                       else writers.FORMAT_SHORT_STR)
+            upper, lower = ((result.pair.dual, result.pair.primal)
+                            if result.swap
+                            else (result.pair.primal, result.pair.dual))
+            mn = vlp.optdir == 1
+            print(("Upper image of primal problem:" if mn
+                   else "Lower image of primal problem:"))
+            print(writers.format_vertices(upper, fmt_out), end="")
+            print(("Lower image of dual problem:" if mn
+                   else "Upper image of dual problem:"))
+            print(writers.format_vertices(lower, fmt_out), end="")
         writers.write_image_family(result.pair, base, swap=result.swap,
                                    fmt=fmt_file, pre_img=bool(opt.solution))
         writers.write_log(base + ".log", problem_file=path, vlp=vlp,

@@ -68,6 +68,7 @@ class Options:
     lp_max_batch: int = 4096       # cap on LPs solved per device round
     checkpoint_path: str = ""      # snapshot phase-2 state here per round
     checkpoint_every: int = 1      # rounds between snapshots
+    profile_dir: str = ""          # write a jax.profiler trace here
 
     def fmt_file(self) -> str:
         """Format string for files: long unless explicitly short

@@ -1,0 +1,44 @@
+"""Auxiliary-subsystem tests: determinism (the substitute for race
+detection, SURVEY.md section 5), profiler tracing, stdout output."""
+
+import glob
+
+import numpy as np
+
+from bensolve_tpu.algs.driver import solve
+from bensolve_tpu.vlp.options import Options
+from bensolve_tpu.vlp.reader import read_vlp
+
+EX = "/root/reference/ex"
+
+
+def test_deterministic_across_runs():
+    vlp = read_vlp(f"{EX}/ex05.vlp")
+    r1 = solve(vlp, Options())
+    r2 = solve(vlp, Options())
+    # bit-identical vertex sets, not just epsilon-close
+    np.testing.assert_array_equal(r1.primal_points, r2.primal_points)
+    np.testing.assert_array_equal(r1.dual_points, r2.dual_points)
+    np.testing.assert_array_equal(r1.primal_directions,
+                                  r2.primal_directions)
+    assert r1.stats.lps == r2.stats.lps
+
+
+def test_profile_trace(tmp_path):
+    vlp = read_vlp(f"{EX}/ex01.vlp")
+    r = solve(vlp, Options(profile_dir=str(tmp_path)))
+    assert r.status.name == "OPTIMAL"
+    assert glob.glob(str(tmp_path / "**" / "*.trace*"), recursive=True) or \
+        glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True) or \
+        list(tmp_path.iterdir())
+
+
+def test_stdout_listing(capsys):
+    from bensolve_tpu.algs.driver import solve_file
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        solve_file(f"{EX}/ex01.vlp",
+                   Options(filename=os.path.join(d, "x"), message_level=1))
+    out = capsys.readouterr().out
+    assert "Upper image of primal problem:" in out
+    assert "Lower image of dual problem:" in out
