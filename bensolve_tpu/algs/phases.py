@@ -166,7 +166,7 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
 
     # PART 2: batched main loop
     _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase1, stats,
-                        phase1=True)
+                        phase1=True, distributed=opt.distributed)
 
     # PART 3: R and H
     _extract_R_H(sol, pair.dual, opt, stats)
@@ -176,10 +176,15 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
 def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                         sol: SolutionContext, eps: float, stats: Stats,
                         *, phase1: bool, pre_img: bool = False,
-                        optdir: int = 1, on_round=None) -> None:
+                        optdir: int = 1, on_round=None,
+                        distributed: bool = False) -> None:
     """Shared main loop of the primal phases: per round, solve P2(v) for
     every unprocessed non-ideal vertex v of the outer approximation and
-    either cut (obj > eps) or finalize the vertex."""
+    either cut (obj > eps) or finalize the vertex.
+
+    ``distributed``: shard the round's LP batch across jax processes,
+    all-gather the cuts, and apply them in canonical (lexicographic)
+    order so every host's replicated polytope stays bit-identical."""
     P = pair.primal
     q = sol.q
     ZR = sol.Z if phase1 else sol.R
@@ -194,44 +199,78 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         if cand.size == 0:
             continue
         stats.rounds += 1
-        V = P.data[cand]                       # (B, q)
+        if distributed:
+            from bensolve_tpu.parallel import distributed as dist
+
+            local = dist.shard_indices(cand.size)
+            solve_idx = cand[local]
+        else:
+            solve_idx = cand
+        V = P.data[solve_idx]                  # (B_local, q)
         res = t2.solve(V @ ZR)                 # ub_j = ZR_j . v
         stats.lps += cand.size
         _check_all_optimal(res,
                            "phase1_primal loop" if phase1 else "phase2_primal loop")
-        W = t2.duals_w(res)                    # (B, q)
+        W = t2.duals_w(res)                    # (B_local, q)
+
+        # per-candidate cut data rows
+        B_local = solve_idx.size
+        ystars = np.empty((B_local, q))
+        if phase1:
+            alphas = np.asarray(t2.duals_alpha(res))
+            ystars[:, : q - 1] = W[:, : q - 1] + alphas[:, None] * \
+                sol.eta[: q - 1]
+            ystars[:, q - 1] = alphas
+        else:
+            YY = t2.primal_y(res)
+            ystars[:, : q - 1] = W[:, : q - 1]
+            ystars[:, q - 1] = np.sum(YY * W, axis=1)
+        passed = res.obj > eps
+        if pre_img:
+            primgs = np.concatenate([
+                t2.duals_u(res) * (1 if optdir == 1 else -1),
+                W * (1 if sol.c_dir.value > 0 else -1)], axis=1)
+            xs = t2.primal_x(res)
+        else:
+            primgs = np.zeros((B_local, 0))
+            xs = np.zeros((B_local, 0))
+
+        if distributed:
+            rows = np.concatenate(
+                [solve_idx[:, None].astype(float), passed[:, None],
+                 ystars, primgs, xs], axis=1)
+            rows = dist.allgather_rows(rows)
+            idx_all = rows[:, 0].astype(int)
+            passed_all = rows[:, 1] > 0.5
+            ystars = rows[:, 2:2 + q]
+            primgs = rows[:, 2 + q:2 + q + primgs.shape[1]]
+            xs = rows[:, 2 + q + primgs.shape[1]:]
+            # finalized vertices first (order-free), then cuts in
+            # canonical order
+            order = np.concatenate([
+                np.flatnonzero(~passed_all),
+                np.flatnonzero(passed_all)[
+                    dist.canonical_order(ystars[passed_all])]])
+        else:
+            idx_all = solve_idx
+            passed_all = passed
+            order = np.arange(idx_all.size)
+
         progressed = False
-        for i, idx in enumerate(cand):
-            idx = int(idx)
+        for i in order:
+            idx = int(idx_all[i])
             if not P.used[idx]:
                 continue   # removed by an earlier cut this round
-            w = W[i]
-            if phase1:
-                alpha = float(t2.duals_alpha(res)[i])
-                passed = res.obj[i] > eps
-                ystar = np.empty(q)
-                ystar[: q - 1] = w[: q - 1] + alpha * sol.eta[: q - 1]
-                ystar[q - 1] = alpha
-            else:
-                yy = t2.primal_y(res)[i]
-                passed = res.obj[i] > eps
-                ystar = np.empty(q)
-                ystar[: q - 1] = w[: q - 1]
-                ystar[q - 1] = float(yy @ w)
-            if passed:
-                primg = None
-                if pre_img:
-                    primg = np.concatenate([
-                        t2.duals_u(res)[i] * (1 if optdir == 1 else -1),
-                        w * (1 if sol.c_dir.value > 0 else -1)])
-                if pair.add_vertex(ystar, ideal=False, primg=primg):
+            if passed_all[i]:
+                primg = primgs[i] if pre_img else None
+                if pair.add_vertex(ystars[i], ideal=False, primg=primg):
                     stats.cuts += 1
                     progressed = True
             else:
                 P.sltn[idx] = True
                 progressed = True
                 if pre_img and not phase1:
-                    P.primg[idx, : t2.n] = t2.primal_x(res)[i]
+                    P.primg[idx, : t2.n] = xs[i]
         if not progressed:
             # cannot happen for live vertices (a vertex always violates
             # its own eps-passing cut); defensive stall guard
@@ -313,6 +352,7 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     # PART 2: batched main loop
     _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase2, stats,
                         phase1=False, pre_img=bool(pre), optdir=vlp.optdir,
+                        distributed=opt.distributed,
                         on_round=_checkpoint_cb(opt, sol, "phase2_primal",
                                                 "lower2upper"))
 

@@ -69,6 +69,7 @@ class Options:
     checkpoint_path: str = ""      # snapshot phase-2 state here per round
     checkpoint_every: int = 1      # rounds between snapshots
     profile_dir: str = ""          # write a jax.profiler trace here
+    distributed: bool = False      # shard LP rounds over jax processes
 
     def fmt_file(self) -> str:
         """Format string for files: long unless explicitly short

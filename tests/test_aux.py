@@ -42,3 +42,27 @@ def test_stdout_listing(capsys):
     out = capsys.readouterr().out
     assert "Upper image of primal problem:" in out
     assert "Lower image of dual problem:" in out
+
+
+def test_distributed_mode_single_process():
+    """distributed=True on one process: shard == whole frontier, cuts
+    applied in canonical order; deterministic and epsilon-correct."""
+    from tests.test_e2e import check_support
+
+    vlp = read_vlp(f"{EX}/ex05.vlp")
+    r1 = solve(vlp, Options(distributed=True))
+    r2 = solve(vlp, Options(distributed=True))
+    assert r1.status.name == "OPTIMAL"
+    np.testing.assert_array_equal(r1.primal_points, r2.primal_points)
+    check_support(r1, n_samples=24)
+
+
+def test_canonical_order_is_order_invariant():
+    from bensolve_tpu.parallel.distributed import canonical_order
+
+    rng = np.random.default_rng(3)
+    cuts = rng.standard_normal((20, 4))
+    perm = rng.permutation(20)
+    o1 = canonical_order(cuts)
+    o2 = canonical_order(cuts[perm])
+    np.testing.assert_allclose(cuts[o1], cuts[perm][o2])
