@@ -40,13 +40,17 @@ TOL_PIV = 1e-6
 GROUP = 8  # LPs per grid step == f32 sublane count
 
 
-def _kernel(E_ref, c_ref, lb_ref, ub_ref,
+def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
             status_ref, basis_ref, at_upper_ref, iters_ref,
             W_ref, *, M, NT, max_iter):
     f32 = jnp.float32
     G = GROUP
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, NT), 1)   # (G, NT)
     mlane = jax.lax.broadcasted_iota(jnp.int32, (G, M), 1)   # (G, M)
+    # float iotas come in as inputs: Mosaic supports neither float iota
+    # nor int->float casts (the convert lowering loops)
+    lane_f = lane_f_ref[...]
+    mlane_f = mlane_f_ref[...]
 
     c = c_ref[...]            # (G, NT)
     lb = lb_ref[...]
@@ -65,17 +69,16 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
     ubB0 = jnp.where(ub_f, ub, BIG)[:, :M]
     cB0 = c[:, :M]
 
+    # batched matvecs as multiply+reduce: Mosaic's dot lowering cannot
+    # express a batched vector-matrix product (no lhs non-contracting
+    # dims), and the VPU does the same FLOPs either way
     def bdot_vec_mat(v, Wt):
         """(G, M) . (G, M, NT) -> (G, NT), batched over G."""
-        return jax.lax.dot_general(
-            v, Wt, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)
+        return jnp.sum(Wt * v[:, :, None], axis=1)
 
     def bdot_mat_vec(Wt, v):
         """(G, M, NT) . (G, NT) -> (G, M), batched over G."""
-        return jax.lax.dot_general(
-            Wt, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)
+        return jnp.sum(Wt * v[:, None, :], axis=2)
 
     zn0 = jnp.where(in_basis0, 0.0, jnp.where(at_upper0, hi, lo))
     xb0 = -bdot_mat_vec(W_ref[...], zn0)            # (G, M)
@@ -88,7 +91,7 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
         return jnp.any(carry[0] == sx.RUNNING)
 
     def body(carry):
-        (status, basis, in_basis, at_upper, xb, lbB, ubB, cB, stall,
+        (status, basis, basis_f, in_basis, at_upper, xb, lbB, ubB, cB, stall,
          it) = carry
         W = W_ref[...]
         running = status == sx.RUNNING                         # (G, 1)
@@ -107,13 +110,18 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
         elig_dec = (~in_basis) & (val > lb) & (d > TOL_DJ)
         eligible = elig_inc | elig_dec
         use_bland = stall > sx.BLAND_AFTER                     # (G, 1)
-        score = jnp.where(use_bland, -lane.astype(f32), jnp.abs(d))
-        score = jnp.where(eligible, score, -BIG)
-        q = jnp.argmax(score, axis=1, keepdims=True).astype(jnp.int32)
+        # NOTE: Mosaic's convert lowering loops on bool->float /
+        # int->float casts and its argmax is float32-only, so Bland
+        # scores use float iotas and a float shadow of the basis
+        score = jnp.where(eligible, jnp.abs(d), -BIG)
+        q_dtz = jnp.argmax(score, axis=1, keepdims=True).astype(jnp.int32)
+        bscore = jnp.where(eligible, -lane_f, -BIG)
+        q_bld = jnp.argmax(bscore, axis=1, keepdims=True).astype(jnp.int32)
+        q = jnp.where(use_bland, q_bld, q_dtz)
         has_entering = jnp.any(eligible, axis=1, keepdims=True)
 
         oq = lane == q                                         # (G, NT)
-        oq_f = oq.astype(f32)
+        oq_f = jnp.where(oq, 1.0, 0.0).astype(f32)
         sigma = jnp.where(jnp.any(elig_inc & oq, axis=1, keepdims=True),
                           1.0, -1.0)                           # (G, 1)
         alpha = bdot_mat_vec(W, oq_f)                          # (G, M)
@@ -131,11 +139,12 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
 
         cand = t <= tmin + 1e-12
         stab = jnp.where(cand, jnp.abs(rate), -1.0)
-        bland_leave = jnp.where(cand, -basis.astype(f32), -BIG)
-        leave_score = jnp.where(use_bland, bland_leave, stab)
-        r = jnp.argmax(leave_score, axis=1, keepdims=True).astype(jnp.int32)
+        r_stab = jnp.argmax(stab, axis=1, keepdims=True).astype(jnp.int32)
+        bleave = jnp.where(cand, -basis_f, -BIG)
+        r_bld = jnp.argmax(bleave, axis=1, keepdims=True).astype(jnp.int32)
+        r = jnp.where(use_bland, r_bld, r_stab)
         orow = mlane == r                                      # (G, M)
-        orow_f = orow.astype(f32)
+        orow_f = jnp.where(orow, 1.0, 0.0).astype(f32)
 
         lb_q = jnp.where(jnp.any(lb_f & oq, axis=1, keepdims=True),
                          jnp.sum(lb * oq_f, axis=1, keepdims=True), -BIG)
@@ -164,12 +173,16 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
                             jnp.where(alpha_r < 0, -TOL_PIV, TOL_PIV),
                             alpha_r)
 
-        # rank-1 tableau update, entirely in VMEM
+        # rank-1 tableau update, entirely in VMEM.  3-D masks are
+        # rebuilt from float32 broadcasts: Mosaic cannot insert a minor
+        # dim on i1 vectors, but f32 reshapes + compare are fine.
         w_r = bdot_vec_mat(orow_f, W)                          # (G, NT)
         w_r_scaled = w_r / alpha_r
         W_upd = W - alpha[:, :, None] * w_r_scaled[:, None, :]
-        W_upd = jnp.where(orow[:, :, None], w_r_scaled[:, None, :], W_upd)
-        W_ref[...] = jnp.where(do_pivot[:, :, None], W_upd, W)
+        orow3 = orow_f[:, :, None] > 0.5                       # (G, M, 1)
+        W_upd = jnp.where(orow3, w_r_scaled[:, None, :], W_upd)
+        dp_f = jnp.where(do_pivot, 1.0, 0.0).astype(f32)       # (G, 1)
+        W_ref[...] = jnp.where(dp_f[:, :, None] > 0.5, W_upd, W)
 
         leaving = jnp.sum(basis * orow.astype(jnp.int32), axis=1,
                           keepdims=True)                       # (G, 1)
@@ -177,6 +190,8 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
         xq_new = val_q + delta
         xb_new = jnp.where(do_pivot & orow, xq_new, xb_new)
         basis_new = jnp.where(do_pivot & orow, q, basis)
+        q_f = jnp.sum(lane_f * oq_f, axis=1, keepdims=True)
+        basis_f_new = jnp.where(do_pivot & orow, q_f, basis_f)
         lbB_new = jnp.where(do_pivot & orow, lb_q, lbB)
         ubB_new = jnp.where(do_pivot & orow, ub_q, ubB)
         cB_q = jnp.sum(c * oq_f, axis=1, keepdims=True)
@@ -200,13 +215,15 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
         stall_new = jnp.where(act, jnp.where(degen, stall + 1, 0), stall)
         it_new = it + act.astype(jnp.int32)
 
-        return (new_status, basis_new, in_basis_new, at_upper_new, xb_new,
-                lbB_new, ubB_new, cB_new, stall_new, it_new)
+        return (new_status, basis_new, basis_f_new, in_basis_new,
+                at_upper_new, xb_new, lbB_new, ubB_new, cB_new, stall_new,
+                it_new)
 
-    init = (status0, basis0, in_basis0, at_upper0, xb0, lbB0, ubB0, cB0,
+    init = (status0, basis0, mlane_f, in_basis0, at_upper0, xb0, lbB0,
+            ubB0, cB0,
             jnp.zeros((G, 1), jnp.int32), jnp.zeros((G, 1), jnp.int32))
-    (status, basis, in_basis, at_upper, xb, lbB, ubB, cB, stall, it) = \
-        jax.lax.while_loop(cond, body, init)
+    (status, basis, basis_f, in_basis, at_upper, xb, lbB, ubB, cB, stall,
+     it) = jax.lax.while_loop(cond, body, init)
 
     status_ref[...] = jnp.where(status == sx.RUNNING, sx.ITLIM, status)
     iters_ref[...] = it
@@ -214,13 +231,22 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref,
     basis_ref[...] = basis
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
 def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False):
     """Run the grouped per-LP kernel over the batch.
 
     ``E``: (M, NT) with E = [I | -A]; M % 8 == 0, NT % 128 == 0.
     ``c``/``lb``/``ub``: (B, NT) float32 (+-inf encoded as +-BIG);
-    B % 8 == 0.  Returns (status, basis, at_upper, iters)."""
+    B % 8 == 0.  Returns (status, basis, at_upper, iters).
+
+    Tracing happens with x64 disabled: under jax_enable_x64 argmax
+    yields int64, whose int64->int32 cast loops forever in the Mosaic
+    convert lowering."""
+    with jax.enable_x64(False):
+        return _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False):
     B, NT = c.shape
     M = E.shape[0]
     kern = functools.partial(_kernel, M=M, NT=NT, max_iter=max_iter)
@@ -230,6 +256,10 @@ def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False):
         # the Mosaic kernel tracer recurses deeply through the while-loop
         # body's expression tree
         sys.setrecursionlimit(20000)
+    lane_f = jnp.broadcast_to(
+        jnp.arange(NT, dtype=jnp.float32)[None, :], (G, NT))
+    mlane_f = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.float32)[None, :], (G, M))
     out = pl.pallas_call(
         kern,
         grid=(B // G,),
@@ -241,6 +271,10 @@ def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False):
             pl.BlockSpec((G, NT), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, NT), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NT), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -261,7 +295,7 @@ def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False):
         ],
         scratch_shapes=[pltpu.VMEM((GROUP, M, NT), jnp.float32)],
         interpret=interpret,
-    )(E, c, lb, ub)
+    )(E, c, lb, ub, lane_f, mlane_f)
     status, basis, at_upper, iters = out
     return status[:, 0], basis, at_upper.astype(bool), iters[:, 0]
 
