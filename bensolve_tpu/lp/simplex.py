@@ -48,6 +48,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bensolve_tpu.lp import linalg
+
 # status codes
 RUNNING = 0
 OPTIMAL = 1
@@ -157,8 +159,8 @@ def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
         basis = jnp.broadcast_to(basis0[None, :], (B, M))
         in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
         Bmat = _build_basis_matrix(A, basis0)
-        lu, piv = jax.scipy.linalg.lu_factor(Bmat)
-        W0 = jax.scipy.linalg.lu_solve((lu, piv), E)
+        lu, piv = linalg.lu_factor(Bmat)
+        W0 = linalg.lu_solve((lu, piv), E)
     in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
     if at_upper0 is None:
         at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
@@ -346,10 +348,11 @@ def _final_solutions(A, c, lb, ub, st: _State):
     Bmat = jax.vmap(_build_basis_matrix, in_axes=(None, 0))(A, st.basis)
     zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
     rhs = -_e_matmul(A, zn)                                        # (B, M)
-    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Bmat)
-    xb = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), rhs)
-    y = jax.vmap(lambda f, p, b: jax.scipy.linalg.lu_solve((f, p), b,
-                                                           trans=1))(
+    # custom batched LU: XLA's LuDecomposition custom-call is f32-only on
+    # TPU, and the endgame must run at f64 (see lp/linalg.py)
+    lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
+    xb = jax.vmap(linalg.lu_solve)((lu, piv), rhs)
+    y = jax.vmap(lambda f, p, b: linalg.lu_solve((f, p), b, trans=1))(
         lu, piv, st.cB)
 
     z = zn.at[batch[:, None], st.basis].set(xb)
