@@ -59,6 +59,8 @@ def _poly_restore(prefix: str, poly, z) -> None:
     primg = z[f"{prefix}_primg"]
     if primg.shape[1] > poly.primg.shape[1]:
         poly.primg = np.zeros((poly.cap, primg.shape[1]))
+        if poly.native:
+            poly._rebind()
     poly.primg[:n, : primg.shape[1]] = primg
     poly.used[:n] = z[f"{prefix}_used"]
     poly.ideal[:n] = z[f"{prefix}_ideal"]

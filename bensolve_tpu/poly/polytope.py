@@ -42,49 +42,174 @@ from __future__ import annotations
 
 import numpy as np
 
+from bensolve_tpu import native as _native
+
 POLY_EPS = 1e-9
 INIT_RANK_EPS = 1e-10    # rank threshold of the initial approx (bslv_poly.c:174)
 GS_DEGENERATE_EPS = 1e-6  # Gram-Schmidt degeneracy (bslv_poly.c:1045)
+
+
+class _RowView:
+    """List-like live view of one native adjacency/incidence row."""
+
+    __slots__ = ("_p", "_w", "_i")
+
+    def __init__(self, p: "Polytope", which: int, i: int):
+        self._p, self._w, self._i = p, which, i
+
+    def _fetch(self) -> np.ndarray:
+        p = self._p
+        n = p._L.poly_row_len(p._h, self._w, self._i)
+        out = np.empty(n, np.int32)
+        if n:
+            p._L.poly_row_get(p._h, self._w, self._i, out.ctypes.data)
+        return out
+
+    def __len__(self) -> int:
+        p = self._p
+        return p._L.poly_row_len(p._h, self._w, self._i)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __iter__(self):
+        return iter(self._fetch().tolist())
+
+    def __contains__(self, x) -> bool:
+        return int(x) in self._fetch()
+
+    def __getitem__(self, j):
+        return int(self._fetch()[j])
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def append(self, x: int) -> None:
+        p = self._p
+        p._L.poly_row_append(p._h, self._w, self._i, int(x))
+
+
+class _Rows:
+    """Container proxy exposing the native rows as ``poly.adj[i]`` /
+    ``poly.inc[i]`` with list semantics."""
+
+    __slots__ = ("_p", "_w")
+
+    def __init__(self, p: "Polytope", which: int):
+        self._p, self._w = p, which
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [list(self[j]) for j in range(*i.indices(self._p.cnt))]
+        return _RowView(self._p, self._w, int(i))
+
+    def __setitem__(self, i, vals) -> None:
+        arr = np.ascontiguousarray(list(vals), dtype=np.int32)
+        self._p._L.poly_row_set(self._p._h, self._w, int(i),
+                                arr.ctypes.data if arr.size else None,
+                                arr.size)
 
 
 class Polytope:
     """One side of a dual polytope pair (reference struct ``polytope``,
     bslv_poly.h:55-69).  Slots are append-only: removing a vertex clears
     its ``used`` bit but indices are never recycled, matching the
-    reference's allocator."""
+    reference's allocator.
+
+    Vertex coordinates and the used/ideal/sltn masks are numpy buffers;
+    the adjacency and facet-incidence lists (and the graph surgery over
+    them) live in the native C++ engine when it is available
+    (bensolve_tpu/native/poly_engine.cpp), sharing these buffers by
+    pointer.  Set BENSOLVE_TPU_NO_NATIVE=1 for the pure-Python engine."""
 
     def __init__(self, dim: int, dim_primg: int = 0, cap: int = 64):
         self.dim = dim
         self.dim_primg = dim_primg
-        self.cnt = 0
+        self._h = None
+        self._cnt = 0
         self.data = np.zeros((cap, dim))
         self.primg = np.zeros((cap, max(dim_primg, 1)))
         self.used = np.zeros(cap, dtype=bool)
         self.ideal = np.zeros(cap, dtype=bool)
         self.sltn = np.zeros(cap, dtype=bool)
-        self.adj: list[list[int]] = [[] for _ in range(cap)]
-        self.inc: list[list[int]] = [[] for _ in range(cap)]
+        self._L = _native.lib()
+        if self._L is not None:
+            self._h = self._L.poly_new(dim)
+            self._rebind()
+            self.adj = _Rows(self, 0)
+            self.inc = _Rows(self, 1)
+        else:
+            self.adj: list[list[int]] = [[] for _ in range(cap)]
+            self.inc: list[list[int]] = [[] for _ in range(cap)]
         self.dual: "Polytope" | None = None
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._L.poly_delete(self._h)
+            self._h = None
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    @property
+    def cnt(self) -> int:
+        if self._h:
+            return self._L.poly_cnt(self._h)
+        return self._cnt
+
+    @cnt.setter
+    def cnt(self, v: int) -> None:
+        if self._h:
+            self._L.poly_set_cnt(self._h, int(v))
+        else:
+            self._cnt = int(v)
+
+    def _rebind(self) -> None:
+        """(Re)share the numpy buffers with the native engine — after
+        construction, growth, or buffer replacement (checkpoint load)."""
+        if not self._h:
+            return
+        for name in ("data", "primg"):
+            arr = getattr(self, name)
+            if not arr.flags.c_contiguous:
+                setattr(self, name, np.ascontiguousarray(arr))
+        self._L.poly_bind(
+            self._h, self.data.ctypes.data, self.primg.ctypes.data,
+            self.primg.shape[1], self.used.ctypes.data,
+            self.ideal.ctypes.data, self.sltn.ctypes.data, self.cap)
 
     # -- storage ----------------------------------------------------------
     @property
     def cap(self) -> int:
         return self.data.shape[0]
 
-    def _grow(self) -> None:
+    def _grow(self, need: int | None = None) -> None:
         cap = self.cap
-        self.data = np.concatenate([self.data, np.zeros((cap, self.dim))])
-        self.primg = np.concatenate([self.primg, np.zeros((cap, self.primg.shape[1]))])
+        extra = cap
+        if need is not None:
+            extra = max(extra, need - cap)
+        self.data = np.concatenate([self.data, np.zeros((extra, self.dim))])
+        self.primg = np.concatenate([self.primg, np.zeros((extra, self.primg.shape[1]))])
         for arr_name in ("used", "ideal", "sltn"):
             arr = getattr(self, arr_name)
-            setattr(self, arr_name, np.concatenate([arr, np.zeros(cap, bool)]))
-        self.adj.extend([] for _ in range(cap))
-        self.inc.extend([] for _ in range(cap))
+            setattr(self, arr_name, np.concatenate([arr, np.zeros(extra, bool)]))
+        if self._h:
+            self._rebind()
+        else:
+            self.adj.extend([] for _ in range(extra))
+            self.inc.extend([] for _ in range(extra))
+
+    def _ensure(self, need: int) -> None:
+        if need > self.cap:
+            self._grow(need)
 
     def append(self) -> int:
         """Claim the next slot (reference ``add_vrtx``, bslv_poly.c:416)."""
         if self.cnt == self.cap:
             self._grow()
+        if self._h:
+            return self._L.poly_append(self._h)
         k = self.cnt
         self.cnt += 1
         self.used[k] = True
@@ -110,6 +235,8 @@ def edge_test(poly: Polytope, v1: int, v2: int) -> bool:
     """Combinatorial adjacency test (reference bslv_poly.c:467-512):
     v1, v2 are adjacent iff they share >= dim-1 facets and no third
     vertex is incident to all of those shared facets."""
+    if poly.native:
+        return bool(poly._L.poly_edge_test(poly._h, int(v1), int(v2)))
     if poly.dim == 1:
         return True
     f1 = set(poly.inc[v1])
@@ -144,6 +271,8 @@ class PolytopePair:
         self.dual = Polytope(dim, dim_primg_dual)
         self.primal.dual = self.dual
         self.dual.dual = self.primal
+        if self.primal.native:
+            self.primal._L.poly_set_dual(self.primal._h, self.dual._h)
 
         # initial dual vertex: the ideal direction -e_q of the lower image
         # (bslv_poly.c:83-92)
@@ -199,6 +328,10 @@ class PolytopePair:
     def _wire_new_facet_adjacency(self, facet: int) -> None:
         """Adjacency among the new facet's incident vertices
         (bslv_poly.c:138-143)."""
+        P = self.primal
+        if P.native:
+            P._L.poly_wire_new_facet(P._h, int(facet))
+            return
         members = self.dual.inc[facet]
         for a_i in range(len(members)):
             for b_i in range(a_i):
@@ -218,6 +351,14 @@ class PolytopePair:
         D = self.dual
         dim = self.dim
         eps = self.eps
+        if P.native:
+            # pre-grow: a cut appends at most (adjacency nnz + 1) vertices
+            P._ensure(P.cnt + int(P._L.poly_nnz(P._h, 0)) + dim + 8)
+            hp_arr = np.ascontiguousarray(hp, dtype=float)
+            rc = P._L.poly_cut(P._h, int(v), hp_arr.ctypes.data, float(eps))
+            if rc != 0:
+                raise RuntimeError("native poly_cut: capacity overflow")
+            return
         newf = D.cnt - 1  # the facet being inserted
         hn = hp[:dim]
         hd = hp[dim]
@@ -425,6 +566,9 @@ class PolytopePair:
         """All-pairs adjacency rebuild via edge_test (reference
         poly__update_adjacence, bslv_poly.c:992-1010); used on the dual
         (facet graph) before writing output."""
+        if poly.native:
+            poly._L.poly_update_adjacency(poly._h)
+            return
         live = poly.live()
         for a_i in range(len(live)):
             for b_i in range(a_i):
@@ -477,6 +621,11 @@ class PolytopePair:
             for u in P.adj[v]:
                 if v not in P.adj[u]:
                     errs.append(f"adjacency asymmetry: {u} vs {v}")
+        if P.native:
+            miss = int(P._L.poly_count_missing_adj(P._h))
+            if miss:
+                errs.append(f"{miss} missing adjacency pair(s)")
+            return errs
         live = P.live()
         for a_i in range(len(live)):
             for b_i in range(a_i):
