@@ -1,0 +1,347 @@
+"""Batched dense *revised* bounded-variable simplex for tall problems.
+
+The tableau solver (lp/simplex.py) carries the full (B, M, M+N) tableau
+through every pivot — ideal when M and N are comparable, but for
+problems with N >> M (e.g. the reference's ex09: m=4608, n=36939,
+bslv_vlp-scale radiotherapy/financial instances) the tableau is ~1.5 GB
+per LP and the batch degenerates to size 1.  This solver keeps only the
+basis inverse (B, M, M) per instance plus ONE shared constraint matrix:
+
+    per iteration     tableau               revised (this file)
+    state traffic     B * M * (M+N)         B * M^2  (+ A once for pricing)
+    pricing           included in tableau   y = cB_eff @ Binv; d = c - y E
+    pivot column      tableau column        alpha = Binv @ E_q (gathered)
+
+E = [I | -A] as in lp/simplex.py, so duals stay free (y = cB @ Binv) and
+the pricing product y @ A is a single MXU matmul over the shared A.
+
+Semantics (statuses, bound types, composite phase-1, Bland fallback,
+final LU refactorization) mirror lp/simplex.py exactly; results are
+interchangeable.  Reference contract: bslv_lp.c:219-303.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bensolve_tpu.lp import linalg
+from bensolve_tpu.lp import simplex as sx
+from bensolve_tpu.lp.simplex import (BLAND_AFTER, INFEASIBLE, ITLIM, OPTIMAL,
+                                     RUNNING, UNBOUNDED, LPResult, _nb_value,
+                                     _tols)
+
+
+@dataclasses.dataclass
+class _RState:
+    basis: jnp.ndarray      # (B, M) int32
+    in_basis: jnp.ndarray   # (B, NT) bool
+    at_upper: jnp.ndarray   # (B, NT) bool
+    Binv: jnp.ndarray       # (B, M, M)
+    xb: jnp.ndarray         # (B, M)
+    lbB: jnp.ndarray        # (B, M)
+    ubB: jnp.ndarray        # (B, M)
+    cB: jnp.ndarray         # (B, M)
+    status: jnp.ndarray     # (B,)
+    stall: jnp.ndarray      # (B,)
+    iters: jnp.ndarray      # (B,)
+    step: jnp.ndarray       # ()
+
+
+jax.tree_util.register_dataclass(
+    _RState,
+    data_fields=["basis", "in_basis", "at_upper", "Binv", "xb", "lbB", "ubB",
+                 "cB", "status", "stall", "iters", "step"],
+    meta_fields=[],
+)
+
+
+def _e_col(A, q):
+    """Column q of E = [I | -A] for a batch of indices q (B,) -> (B, M)."""
+    M, N = A.shape
+    is_aux = q < M
+    aux_col = jax.nn.one_hot(q, M, dtype=A.dtype)                 # (B, M)
+    a_col = -A[:, jnp.clip(q - M, 0, N - 1)].T                    # (B, M)
+    return jnp.where(is_aux[:, None], aux_col, a_col)
+
+
+def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
+    B, NT = c.shape
+    M, N = A.shape
+    dtype = c.dtype
+    if basis0 is None:
+        basis = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None, :], (B, 1))
+        in_basis1 = jnp.concatenate([jnp.ones(M, bool), jnp.zeros(N, bool)])
+        Binv0 = jnp.eye(M, dtype=dtype)
+    else:
+        basis0 = jnp.asarray(basis0, jnp.int32)
+        basis = jnp.broadcast_to(basis0[None, :], (B, M))
+        in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
+        Bmat = sx._build_basis_matrix(A, basis0)
+        lu, piv = linalg.lu_factor(Bmat)
+        Binv0 = linalg.lu_solve((lu, piv), jnp.eye(M, dtype=dtype))
+    in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
+    if at_upper0 is None:
+        at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
+    else:
+        at_upper = jnp.broadcast_to(
+            jnp.asarray(at_upper0, bool)[None, :], (B, NT))
+        at_upper = at_upper & jnp.isfinite(ub) & ~in_basis
+        at_upper = at_upper | ((~jnp.isfinite(lb)) & jnp.isfinite(ub)
+                               & ~in_basis)
+    zn = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
+    # xb = Binv (-E zn)
+    rhs = -sx._e_matmul(A, zn)                                     # (B, M)
+    xb = jnp.einsum("ij,bj->bi", Binv0, rhs) if basis0 is not None \
+        else rhs
+    Binv = jnp.broadcast_to(Binv0[None], (B, M, M)) + jnp.zeros(
+        (B, 1, 1), dtype)
+    zeros = jnp.zeros(B, jnp.int32)
+    lbB = jnp.take_along_axis(lb, basis, axis=1)
+    ubB = jnp.take_along_axis(ub, basis, axis=1)
+    cB = jnp.take_along_axis(c, basis, axis=1)
+    crossed = jnp.any(lb > ub, axis=1)
+    status = jnp.where(crossed, INFEASIBLE, zeros)
+    return _RState(basis, in_basis, at_upper, Binv, xb, lbB, ubB, cB,
+                   status, zeros, zeros, jnp.int32(0))
+
+
+def _rstep(A, c, lb, ub, st: _RState) -> _RState:
+    TOL_BND, TOL_DJ, TOL_PIV = _tols(c.dtype)
+    B, NT = c.shape
+    M, N = A.shape
+    batch = jnp.arange(B)
+    running = st.status == RUNNING
+
+    viol_lo = st.xb < st.lbB - TOL_BND
+    viol_up = st.xb > st.ubB + TOL_BND
+    feasible = ~jnp.any(viol_lo | viol_up, axis=1)
+
+    cB1 = jnp.where(viol_up, 1.0, 0.0) + jnp.where(viol_lo, -1.0, 0.0)
+    cB_eff = jnp.where(feasible[:, None], st.cB, cB1).astype(c.dtype)
+
+    # duals y = cB_eff @ Binv; reduced costs d = c_eff - y E, where the
+    # structural part -(y @ A) is ONE batched matmul over the shared A
+    y = jnp.einsum("bm,bmk->bk", cB_eff, st.Binv)                  # (B, M)
+    d = jnp.where(feasible[:, None], c, 0.0) - sx._e_rmatmul(A, y)
+
+    val = _nb_value(lb, ub, st.at_upper)
+    can_inc = (~st.in_basis) & (val < ub)
+    can_dec = (~st.in_basis) & (val > lb)
+    elig_inc = can_inc & (d < -TOL_DJ)
+    elig_dec = can_dec & (d > TOL_DJ)
+    eligible = elig_inc | elig_dec
+    use_bland = st.stall > BLAND_AFTER
+    dantzig_score = jnp.where(eligible, jnp.abs(d), -jnp.inf)
+    bland_score = jnp.where(eligible, -jnp.arange(NT, dtype=c.dtype),
+                            -jnp.inf)
+    score = jnp.where(use_bland[:, None], bland_score, dantzig_score)
+    q_idx = jnp.argmax(score, axis=1)
+    has_entering = jnp.any(eligible, axis=1)
+
+    finish_status = jnp.where(feasible, OPTIMAL, INFEASIBLE)
+    new_status = jnp.where(running & ~has_entering, finish_status, st.status)
+    act = running & has_entering
+
+    sigma = jnp.where(
+        jnp.take_along_axis(elig_inc, q_idx[:, None], axis=1)[:, 0], 1.0, -1.0
+    ).astype(c.dtype)
+
+    # pivot column alpha = Binv @ E_q (gathered shared-A column)
+    e_q = _e_col(A, q_idx)                                         # (B, M)
+    alpha = jnp.einsum("bmk,bk->bm", st.Binv, e_q)
+    rate = -sigma[:, None] * alpha
+
+    inc = rate > TOL_PIV
+    dec = rate < -TOL_PIV
+    target_inc = jnp.where(viol_lo, st.lbB, st.ubB)
+    target_dec = jnp.where(viol_up, st.ubB, st.lbB)
+    t_inc = jnp.where(viol_up, jnp.inf, (target_inc - st.xb) / rate)
+    t_dec = jnp.where(viol_lo, jnp.inf, (target_dec - st.xb) / rate)
+    t = jnp.where(inc, t_inc, jnp.where(dec, t_dec, jnp.inf))
+    t = jnp.maximum(t, 0.0)
+    t = jnp.where(jnp.isnan(t), jnp.inf, t)
+
+    tmin = jnp.min(t, axis=1)
+    cand = t <= tmin[:, None] + 1e-12
+    stab_score = jnp.where(cand, jnp.abs(rate), -1.0)
+    basis_f = st.basis.astype(c.dtype)
+    bland_leave = jnp.where(cand, -basis_f, -jnp.inf)
+    leave_score = jnp.where(use_bland[:, None], bland_leave, stab_score)
+    r_idx = jnp.argmax(leave_score, axis=1)
+
+    lb_q = jnp.take_along_axis(lb, q_idx[:, None], axis=1)[:, 0]
+    ub_q = jnp.take_along_axis(ub, q_idx[:, None], axis=1)[:, 0]
+    span = ub_q - lb_q
+    span = jnp.where(jnp.isfinite(span), span, jnp.inf)
+    do_flip = span < tmin
+    t_star = jnp.where(do_flip, span, tmin)
+
+    unbounded = act & feasible & ~jnp.isfinite(t_star)
+    new_status = jnp.where(unbounded, UNBOUNDED, new_status)
+    act = act & jnp.isfinite(t_star)
+
+    delta = jnp.where(act, sigma * t_star, 0.0)
+    xb_new = st.xb - delta[:, None] * alpha
+
+    do_pivot = act & ~do_flip
+    alpha_r = jnp.take_along_axis(alpha, r_idx[:, None], axis=1)[:, 0]
+    alpha_r = jnp.where(jnp.abs(alpha_r) < TOL_PIV,
+                        jnp.where(alpha_r < 0, -TOL_PIV, TOL_PIV), alpha_r)
+
+    # rank-1 basis-inverse update (product form): Binv_i -= alpha_i b_r,
+    # Binv_r = b_r, with b_r = Binv_r / alpha_r
+    b_r = jnp.take_along_axis(
+        st.Binv, r_idx[:, None, None], axis=1)[:, 0, :]            # (B, M)
+    b_r_scaled = b_r / alpha_r[:, None]
+    Binv_upd = st.Binv - alpha[:, :, None] * b_r_scaled[:, None, :]
+    Binv_upd = Binv_upd.at[batch, r_idx, :].set(b_r_scaled)
+    Binv_new = jnp.where(do_pivot[:, None, None], Binv_upd, st.Binv)
+
+    leaving = jnp.take_along_axis(st.basis, r_idx[:, None], axis=1)[:, 0]
+    val_q = jnp.take_along_axis(val, q_idx[:, None], axis=1)[:, 0]
+    xq_new = val_q + delta
+    xb_new = jnp.where(do_pivot[:, None],
+                       xb_new.at[batch, r_idx].set(xq_new), xb_new)
+    basis_upd = st.basis.at[batch, r_idx].set(q_idx.astype(jnp.int32))
+    basis_new = jnp.where(do_pivot[:, None], basis_upd, st.basis)
+
+    cB_q = jnp.take_along_axis(c, q_idx[:, None], axis=1)[:, 0]
+    lbB_new = jnp.where(do_pivot[:, None],
+                        st.lbB.at[batch, r_idx].set(lb_q), st.lbB)
+    ubB_new = jnp.where(do_pivot[:, None],
+                        st.ubB.at[batch, r_idx].set(ub_q), st.ubB)
+    cB_new = jnp.where(do_pivot[:, None],
+                       st.cB.at[batch, r_idx].set(cB_q), st.cB)
+
+    in_basis_upd = st.in_basis.at[batch, q_idx].set(True)
+    in_basis_upd = in_basis_upd.at[batch, leaving].set(False)
+    in_basis_new = jnp.where(do_pivot[:, None], in_basis_upd, st.in_basis)
+
+    rate_r = jnp.take_along_axis(rate, r_idx[:, None], axis=1)[:, 0]
+    viol_lo_r = jnp.take_along_axis(viol_lo, r_idx[:, None], axis=1)[:, 0]
+    viol_up_r = jnp.take_along_axis(viol_up, r_idx[:, None], axis=1)[:, 0]
+    leave_at_upper = jnp.where(rate_r > 0, ~viol_lo_r, viol_up_r)
+    at_upper_upd = st.at_upper.at[batch, leaving].set(leave_at_upper)
+    q_at_upper = jnp.take_along_axis(st.at_upper, q_idx[:, None], axis=1)[:, 0]
+    at_upper_flip = st.at_upper.at[batch, q_idx].set(~q_at_upper)
+    at_upper_new = jnp.where(
+        do_pivot[:, None], at_upper_upd,
+        jnp.where((act & do_flip)[:, None], at_upper_flip, st.at_upper),
+    )
+
+    degen = act & (t_star < TOL_BND)
+    stall_new = jnp.where(act, jnp.where(degen, st.stall + 1, 0), st.stall)
+    iters_new = st.iters + act.astype(jnp.int32)
+
+    return _RState(basis_new, in_basis_new, at_upper_new, Binv_new, xb_new,
+                   lbB_new, ubB_new, cB_new,
+                   new_status, stall_new, iters_new, st.step + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _solve_revised_jit(A, c, lb, ub, max_iter):
+    return _solve_revised_core(A, c, lb, ub, None, None, max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _solve_revised_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
+    return _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter)
+
+
+def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
+    st = _initial_rstate(A, c, lb, ub, basis0, at_upper0)
+
+    def cond(s):
+        return jnp.any(s.status == RUNNING) & (s.step < max_iter)
+
+    st = jax.lax.while_loop(cond, lambda s: _rstep(A, c, lb, ub, st=s), st)
+    status = jnp.where(st.status == RUNNING, ITLIM, st.status)
+
+    final = sx._State(basis=st.basis, in_basis=st.in_basis,
+                      at_upper=st.at_upper, W=None, xb=None, lbB=None,
+                      ubB=None, cB=st.cB, status=status, stall=None,
+                      iters=st.iters, step=None)
+    obj, x, s_act, row_dual, col_dual = sx._final_solutions(A, c, lb, ub,
+                                                            final)
+    return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
+            st.at_upper)
+
+
+# N/M ratio above which solve_batch should route here: the tableau
+# carries (M+N)/M times more state than the basis inverse
+REVISED_RATIO = 4
+
+
+def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
+                        max_iter: int | None = None, dtype=np.float64,
+                        start_basis=None,
+                        max_chunk: int | None = None) -> LPResult:
+    """Drop-in alternative to simplex.solve_batch for N >> M (same
+    padding, chunking, and warm-start contract)."""
+    A_arr = np.asarray(A)
+    M, N = A_arr.shape
+    if max_chunk is None:
+        # Binv dominates: (B, M, M) + shared A
+        per = (M + 8) * (M + 8) * np.dtype(dtype).itemsize * 3
+        cap = max(1, int(sx.TABLEAU_BYTES_BUDGET // per))
+        max_chunk = min(sx.MAX_CHUNK, 1 << (cap.bit_length() - 1))
+    c2 = np.atleast_2d(np.asarray(c))
+    if c2.shape[0] > max_chunk:
+        parts = []
+        for s in range(0, c2.shape[0], max_chunk):
+            sl = slice(s, s + max_chunk)
+            parts.append(solve_batch_revised(
+                A, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
+                np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
+                max_iter=max_iter, dtype=dtype, start_basis=start_basis,
+                max_chunk=max_chunk))
+        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
+                          for f in dataclasses.fields(LPResult)))
+
+    A_arr = np.asarray(A, dtype)
+    c = np.atleast_2d(np.asarray(c, dtype))
+    B = c.shape[0]
+    Mp, Np = sx._bucket(M), sx._bucket(N)
+    Bp = max(8, 1 << (B - 1).bit_length())
+    if max_iter is None:
+        max_iter = 50 * (Mp + Np) + 500
+    A_p = np.zeros((Mp, Np), dtype)
+    A_p[:M, :N] = A_arr
+
+    def _pad(arr, k, kp, fill):
+        arr = np.asarray(arr, dtype)
+        out = np.full((Bp, kp), fill, dtype)
+        out[:B, :k] = arr
+        if Bp > B:
+            out[B:, :k] = arr[:1]
+        return out
+
+    full_c = np.concatenate(
+        [np.zeros((Bp, Mp), dtype), _pad(c, N, Np, 0.0)], axis=1)
+    lb = np.concatenate(
+        [_pad(row_lb, M, Mp, -np.inf), _pad(col_lb, N, Np, 0.0)], axis=1)
+    ub = np.concatenate(
+        [_pad(row_ub, M, Mp, np.inf), _pad(col_ub, N, Np, 0.0)], axis=1)
+
+    if start_basis is None:
+        out = _solve_revised_jit(jnp.asarray(A_p), jnp.asarray(full_c),
+                                 jnp.asarray(lb), jnp.asarray(ub), max_iter)
+    else:
+        if isinstance(start_basis, tuple):
+            b0, u0 = start_basis
+        else:
+            b0, u0 = start_basis, np.zeros(Mp + Np, bool)
+        out = _solve_revised_warm_jit(
+            jnp.asarray(A_p), jnp.asarray(full_c), jnp.asarray(lb),
+            jnp.asarray(ub), jnp.asarray(b0, jnp.int32),
+            jnp.asarray(u0, bool), max_iter)
+    (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
+        np.asarray(o) for o in out)
+    return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],
+                    row_dual[:B, :M], col_dual[:B, :N], iters[:B],
+                    basis[:B], at_upper[:B])
