@@ -48,6 +48,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    default="primal")
     p.add_argument("--eps_phase1", "-E", type=float, default=1e-7)
     p.add_argument("--eps_phase2", "-e", type=float, default=1e-7)
+    # TPU-build extension: LP arithmetic precision (float32 = native TPU
+    # arithmetic, pair with loose epsilons as the reference itself
+    # recommends for ex07/ex09, ex/example07.m:9)
+    p.add_argument("--lp_dtype", choices=["float64", "float32"],
+                   default="float64")
     return p
 
 
@@ -86,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         eps_benson_phase1=args.eps_phase1,
         eps_benson_phase2=args.eps_phase2,
         poly_test=args.test,
+        lp_dtype=args.lp_dtype,
     )
     if not opt.filename:
         opt.filename = args.filename.split(".")[0]

@@ -146,7 +146,8 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     pair = PolytopePair(q, eps=POLY_EPS,
                         dual_v2h=make_lower_to_upper_v2h(sol.c))
-    t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS)
+    t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS,
+                    dtype=opt.lp_dtype)
     p = sol.p
 
     # PART 1: one LP per column of Z, each with only its own extra row
@@ -316,7 +317,8 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     a checkpointed outer approximation instead of re-seeding."""
     q = sol.q
     pre = opt.solution
-    t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS)
+    t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS,
+                    dtype=opt.lp_dtype)
     r = sol.r
 
     if resume_pair is not None:
@@ -394,7 +396,7 @@ def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     pair = PolytopePair(q, eps=POLY_EPS,
                         dual_v2h=make_upper_to_lower_v2h(sol.c))
-    t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS)
+    t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype)
 
     # PART 1: weighted LP at the mean of Z plus Y columns as directions
     w0 = sol.Z.mean(axis=1)
@@ -483,7 +485,8 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     computation part)."""
     q = sol.q
     pre = opt.solution
-    t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS)
+    t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS,
+                    dtype=opt.lp_dtype)
 
     if resume_pair is not None:
         pair = resume_pair

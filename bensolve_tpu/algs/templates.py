@@ -37,7 +37,9 @@ INHOMOGENEOUS = False
 
 
 class _TemplateBase:
-    def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool):
+    def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
+                 dtype=np.float64):
+        self.dtype = np.dtype(dtype).type
         self.vlp = vlp
         self.m, self.n, self.q = vlp.m, vlp.n, vlp.q
         self.P_eff = P_eff
@@ -52,7 +54,7 @@ class _TemplateBase:
 
     def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub) -> LPResult:
         res = simplex.solve_batch(A_lp, obj, row_lb, row_ub, col_lb, col_ub,
-                                  start_basis=self._warm)
+                                  start_basis=self._warm, dtype=self.dtype)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round
@@ -70,8 +72,8 @@ class _TemplateBase:
 
 class P2Template(_TemplateBase):
     def __init__(self, vlp, P_eff, ZR: np.ndarray, eta: np.ndarray,
-                 homogeneous: bool):
-        super().__init__(vlp, P_eff, homogeneous)
+                 homogeneous: bool, dtype=np.float64):
+        super().__init__(vlp, P_eff, homogeneous, dtype)
         m, n, q = self.m, self.n, self.q
         ZR = np.asarray(ZR, float)
         self.p = ZR.shape[1]
@@ -140,8 +142,9 @@ class P2Template(_TemplateBase):
 
 
 class P1Template(_TemplateBase):
-    def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool):
-        super().__init__(vlp, P_eff, homogeneous)
+    def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool,
+                 dtype=np.float64):
+        super().__init__(vlp, P_eff, homogeneous, dtype)
         m, n, q = self.m, self.n, self.q
         top, mid = self._vlp_blocks()
         erow = np.concatenate(

@@ -63,8 +63,11 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
     hi = jnp.where(ub_f, ub, jnp.where(lb_f, lb, 0.0))
 
     basis0 = mlane                                  # slacks 0..M-1
-    in_basis0 = lane < M
-    at_upper0 = (~lb_f) & ub_f & (~in_basis0)
+    # carried masks are int32 (0/1): Mosaic cannot lower selects whose
+    # VALUES are i1 vectors ("Unsupported target bitwidth for
+    # truncation" on real TPU); predicates stay boolean
+    in_basis0 = (lane < M).astype(jnp.int32)
+    at_upper0 = ((~lb_f) & ub_f & (in_basis0 == 0)).astype(jnp.int32)
     lbB0 = jnp.where(lb_f, lb, -BIG)[:, :M]
     ubB0 = jnp.where(ub_f, ub, BIG)[:, :M]
     cB0 = c[:, :M]
@@ -80,7 +83,7 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
         """(G, M, NT) . (G, NT) -> (G, M), batched over G."""
         return jnp.sum(Wt * v[:, None, :], axis=2)
 
-    zn0 = jnp.where(in_basis0, 0.0, jnp.where(at_upper0, hi, lo))
+    zn0 = jnp.where(in_basis0 > 0, 0.0, jnp.where(at_upper0 > 0, hi, lo))
     xb0 = -bdot_mat_vec(W_ref[...], zn0)            # (G, M)
 
     crossed = jnp.any(lb > ub, axis=1, keepdims=True)          # (G, 1)
@@ -105,9 +108,10 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
 
         d = jnp.where(feasible, c, 0.0) - bdot_vec_mat(cB_eff, W)
 
-        val = jnp.where(at_upper, hi, lo)
-        elig_inc = (~in_basis) & (val < ub) & (d < -TOL_DJ)
-        elig_dec = (~in_basis) & (val > lb) & (d > TOL_DJ)
+        val = jnp.where(at_upper > 0, hi, lo)
+        nonbasic = in_basis == 0
+        elig_inc = nonbasic & (val < ub) & (d < -TOL_DJ)
+        elig_dec = nonbasic & (val > lb) & (d > TOL_DJ)
         eligible = elig_inc | elig_dec
         use_bland = stall > sx.BLAND_AFTER                     # (G, 1)
         # NOTE: Mosaic's convert lowering loops on bool->float /
@@ -198,18 +202,21 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
         cB_new = jnp.where(do_pivot & orow, cB_q, cB)
 
         in_basis_new = jnp.where(
-            do_pivot & oq, True,
-            jnp.where(do_pivot & (lane == leaving), False, in_basis))
+            do_pivot & oq, 1,
+            jnp.where(do_pivot & (lane == leaving), 0, in_basis))
 
         rate_r = jnp.sum(rate * orow_f, axis=1, keepdims=True)
         viol_lo_r = jnp.any(viol_lo & orow, axis=1, keepdims=True)
         viol_up_r = jnp.any(viol_up & orow, axis=1, keepdims=True)
-        leave_at_upper = jnp.where(rate_r > 0, ~viol_lo_r, viol_up_r)
+        leave_at_upper = jnp.where(rate_r > 0,
+                                   1 - viol_lo_r.astype(jnp.int32),
+                                   viol_up_r.astype(jnp.int32))
         at_upper_new = jnp.where(do_pivot & (lane == leaving),
                                  leave_at_upper, at_upper)
-        q_at_upper = jnp.any(at_upper & oq, axis=1, keepdims=True)
+        q_at_upper = jnp.any((at_upper > 0) & oq, axis=1, keepdims=True)
         at_upper_new = jnp.where((act & do_flip) & oq,
-                                 ~q_at_upper, at_upper_new)
+                                 1 - q_at_upper.astype(jnp.int32),
+                                 at_upper_new)
 
         degen = act & (t_star < TOL_BND)
         stall_new = jnp.where(act, jnp.where(degen, stall + 1, 0), stall)
@@ -227,7 +234,7 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
 
     status_ref[...] = jnp.where(status == sx.RUNNING, sx.ITLIM, status)
     iters_ref[...] = it
-    at_upper_ref[...] = at_upper.astype(jnp.int32)
+    at_upper_ref[...] = at_upper
     basis_ref[...] = basis
 
 

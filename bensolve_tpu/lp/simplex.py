@@ -279,13 +279,18 @@ def _step(A, c, lb, ub, st: _State) -> _State:
     alpha_r = jnp.where(jnp.abs(alpha_r) < TOL_PIV,
                         jnp.where(alpha_r < 0, -TOL_PIV, TOL_PIV), alpha_r)
 
-    # rank-1 tableau update: W_i -= alpha_i * (w_r/alpha_r), W_r = w_r/alpha_r
+    # rank-1 tableau update: W_i -= alpha_i * (w_r/alpha_r), W_r = w_r/alpha_r.
+    # Folding the row-r replacement (coefficient alpha_r - 1) and the
+    # do_pivot mask (coefficient 0) into the rank-1 coefficient vector
+    # makes this ONE fused FMA pass over W — the tableau is the whole
+    # memory footprint, and the naive set+where formulation costs three
+    # full materializations per pivot instead of one.
     w_r = jnp.take_along_axis(
         st.W, r_idx[:, None, None], axis=1)[:, 0, :]               # (B, NT)
     w_r_scaled = w_r / alpha_r[:, None]
-    W_upd = st.W - alpha[:, :, None] * w_r_scaled[:, None, :]
-    W_upd = W_upd.at[batch, r_idx, :].set(w_r_scaled)
-    W_new = jnp.where(do_pivot[:, None, None], W_upd, st.W)
+    coef = alpha.at[batch, r_idx].add(-1.0)
+    coef = jnp.where(do_pivot[:, None], coef, 0.0)
+    W_new = st.W - coef[:, :, None] * w_r_scaled[:, None, :]
 
     leaving = jnp.take_along_axis(st.basis, r_idx[:, None], axis=1)[:, 0]
     entering_val = _nb_value(lb, ub, st.at_upper)

@@ -63,6 +63,10 @@ class Options:
     eps_benson_phase1: float = DEFAULT_EPS_BENSON_PHASE1  # -E
     eps_benson_phase2: float = DEFAULT_EPS_BENSON_PHASE2  # -e
     # TPU-build specific knobs (no reference counterpart):
+    lp_dtype: str = "float64"      # LP arithmetic: float64 (GLPK-grade
+    #   tolerances) or float32 (native TPU arithmetic; use with loose
+    #   epsilons, e.g. the reference's own -e 0.05 / 1e-2 advice for
+    #   the large ex07/ex09 instances, ex/example07.m:9)
     write_files: bool = True       # emit the .sol/.log artifact family
     poly_test: bool = False        # run polytope integrity checks (POLY_TEST)
     lp_max_batch: int = 4096       # cap on LPs solved per device round

@@ -1,0 +1,47 @@
+"""Acceptance tests for the LARGE reference examples (SURVEY.md section 4):
+ex07 (q=3, m=1211, n=1143, Shao-Ehrgott radiotherapy, run at -e 0.05 per
+ex/example07.m:9), ex09 (q=3, m=4608, n=36939, run at -e 1e-2 per
+ex/example09.m:10), ex10 (the q=3 "bensolvehedron", m=n=343).
+
+These take minutes on the CPU backend, so they are opt-in:
+
+    BENSOLVE_SLOW=1 python -m pytest tests/test_e2e_large.py -v
+
+On TPU hardware (JAX_PLATFORMS unset under axon) they run at full speed;
+the float32 LP path matches the loose epsilons the reference itself
+recommends for these instances.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_e2e import check_support, run
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.environ.get("BENSOLVE_SLOW"),
+                       reason="set BENSOLVE_SLOW=1 to run the large examples"),
+]
+
+from bensolve_tpu.algs.solution import SolStatus  # noqa: E402
+
+
+def test_ex10_bensolvehedron():
+    r = run("ex10")
+    assert r.status is SolStatus.OPTIMAL
+    # the bensolvehedron's upper image is bounded below along c and has
+    # a large vertex set; directions are the 3 extreme rays of R^3_+
+    assert len(r.primal_points) > 500
+    assert len(r.primal_directions) == 3
+    check_support(r, n_samples=16, tol=1e-4)
+
+
+def test_ex07_radiotherapy_loose_eps():
+    # reference advice: -e 0.05 -l primal_simplex (ex/example07.m:9);
+    # float32 LP arithmetic is sufficient at this epsilon
+    r = run("ex07", eps_benson_phase2=0.05, lp_dtype="float32")
+    assert r.status is SolStatus.OPTIMAL
+    assert len(r.primal_points) > 10
+    check_support(r, n_samples=8, tol=0.05)
