@@ -194,13 +194,17 @@ def _rstep(A, c, lb, ub, st: _RState) -> _RState:
                         jnp.where(alpha_r < 0, -TOL_PIV, TOL_PIV), alpha_r)
 
     # rank-1 basis-inverse update (product form): Binv_i -= alpha_i b_r,
-    # Binv_r = b_r, with b_r = Binv_r / alpha_r
+    # Binv_r = b_r, with b_r = Binv_r / alpha_r.  As in lp/simplex.py,
+    # the row-r replacement (coefficient alpha_r - 1) and the do_pivot
+    # mask (coefficient 0) fold into the rank-1 coefficient vector, so
+    # the update is ONE fused FMA pass over Binv instead of three
+    # materializations.
     b_r = jnp.take_along_axis(
         st.Binv, r_idx[:, None, None], axis=1)[:, 0, :]            # (B, M)
     b_r_scaled = b_r / alpha_r[:, None]
-    Binv_upd = st.Binv - alpha[:, :, None] * b_r_scaled[:, None, :]
-    Binv_upd = Binv_upd.at[batch, r_idx, :].set(b_r_scaled)
-    Binv_new = jnp.where(do_pivot[:, None, None], Binv_upd, st.Binv)
+    coef = alpha.at[batch, r_idx].add(-1.0)
+    coef = jnp.where(do_pivot[:, None], coef, 0.0)
+    Binv_new = st.Binv - coef[:, :, None] * b_r_scaled[:, None, :]
 
     leaving = jnp.take_along_axis(st.basis, r_idx[:, None], axis=1)[:, 0]
     val_q = jnp.take_along_axis(val, q_idx[:, None], axis=1)[:, 0]
