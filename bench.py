@@ -41,6 +41,11 @@ def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
     unavailable."""
     import jax
 
+    # persistent compile cache: the Mosaic kernel takes minutes to
+    # compile through the remote-TPU tunnel; repeat runs hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from bensolve_tpu.lp import simplex
 
     dtype = A.dtype.type

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from bensolve_tpu.lp import simplex
+from bensolve_tpu.lp import simplex, solve_batch_auto
 from bensolve_tpu.lp.simplex import LPResult
 from bensolve_tpu.vlp.problem import VLPProblem
 
@@ -53,8 +53,8 @@ class _TemplateBase:
         self._warm = None
 
     def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub) -> LPResult:
-        res = simplex.solve_batch(A_lp, obj, row_lb, row_ub, col_lb, col_ub,
-                                  start_basis=self._warm, dtype=self.dtype)
+        res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb, col_ub,
+                               start_basis=self._warm, dtype=self.dtype)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round

@@ -44,7 +44,7 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
             status_ref, basis_ref, at_upper_ref, iters_ref,
             W_ref, *, M, NT, max_iter):
     f32 = jnp.float32
-    G = GROUP
+    G = c_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, NT), 1)   # (G, NT)
     mlane = jax.lax.broadcasted_iota(jnp.int32, (G, M), 1)   # (G, M)
     # float iotas come in as inputs: Mosaic supports neither float iota
@@ -238,26 +238,35 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
     basis_ref[...] = basis
 
 
-def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False):
+def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False, group=GROUP):
     """Run the grouped per-LP kernel over the batch.
 
     ``E``: (M, NT) with E = [I | -A]; M % 8 == 0, NT % 128 == 0.
     ``c``/``lb``/``ub``: (B, NT) float32 (+-inf encoded as +-BIG);
-    B % 8 == 0.  Returns (status, basis, at_upper, iters).
+    B % ``group`` == 0.  Returns (status, basis, at_upper, iters).
+
+    ``group``: LPs per grid step (multiple of 8).  Larger groups make
+    every VPU op wider, amortizing while-loop instruction overhead, at
+    the cost of a longer lockstep tail (max-over-group iterations) and
+    (group+1)*M*NT*4 bytes of VMEM.  Choose the largest group whose
+    tableau block fits comfortably in VMEM (see _pick_group).
 
     Tracing happens with x64 disabled: under jax_enable_x64 argmax
     yields int64, whose int64->int32 cast loops forever in the Mosaic
     convert lowering."""
     with jax.enable_x64(False):
-        return _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret)
+        return _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret,
+                                       group)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
-def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "interpret", "group"))
+def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False,
+                            group=GROUP):
     B, NT = c.shape
     M = E.shape[0]
     kern = functools.partial(_kernel, M=M, NT=NT, max_iter=max_iter)
-    G = GROUP
+    G = group
     import sys
     if sys.getrecursionlimit() < 20000:
         # the Mosaic kernel tracer recurses deeply through the while-loop
@@ -300,7 +309,12 @@ def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False):
             jax.ShapeDtypeStruct((B, NT), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((GROUP, M, NT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G, M, NT), jnp.float32)],
+        # the default scoped-vmem limit is 16 MiB; the tableau scratch
+        # block legitimately uses most of the core's VMEM (128 MiB on
+        # v5e) for large groups
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(E, c, lb, ub, lane_f, mlane_f)
     status, basis, at_upper, iters = out
@@ -311,13 +325,32 @@ def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
 
+# VMEM budget for the tableau scratch block, bytes.  v5e/v4 expose
+# ~128 MiB of VMEM per core (vmem_limit_bytes below raises Mosaic's
+# 16 MiB scoped default); leave headroom for the input/output blocks
+# and the pipeline's double buffers.
+VMEM_BUDGET = 64 * 1024 * 1024
+MAX_GROUP = 256
+
+
+def _pick_group(M: int, NT: int, Bp: int) -> int:
+    """Largest group (multiple of 8, <= MAX_GROUP, <= Bp) whose
+    (G, M, NT) f32 tableau block plus E fits the VMEM budget."""
+    per_lp = M * NT * 4
+    avail = VMEM_BUDGET - M * NT * 4  # minus the shared E block
+    g = max(1, avail // max(per_lp, 1))
+    g = min(int(g), MAX_GROUP, Bp)
+    return max(GROUP, (g // GROUP) * GROUP) if g >= GROUP else GROUP
+
+
 def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     max_iter: int | None = None,
-                    interpret: bool | None = None) -> sx.LPResult:
+                    interpret: bool | None = None,
+                    group: int | None = None) -> sx.LPResult:
     """solve_batch-compatible wrapper around the Pallas kernel (float32;
-    M padded to 8s, NT to 128s, batch to a multiple of 8).  Falls back
-    to interpret mode off TPU so the same code path is testable on
-    CPU."""
+    M padded to 8s, NT to 128s, batch to a multiple of the group size).
+    Falls back to interpret mode off TPU so the same code path is
+    testable on CPU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dtype = np.float32
@@ -328,7 +361,9 @@ def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
     Mp = sx._bucket(M)
     NT = _pad128(Mp + sx._bucket(N))
     Np = NT - Mp
-    Bp = max(GROUP, -(-B // GROUP) * GROUP)
+    if group is None:
+        group = GROUP if interpret else _pick_group(Mp, NT, -(-B // 8) * 8)
+    Bp = max(group, -(-B // group) * group)
     if max_iter is None:
         max_iter = 50 * (Mp + Np) + 500
     A_p = np.zeros((Mp, Np), dtype)
@@ -354,7 +389,7 @@ def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
 
     status, basis, at_upper, iters = solve_batch_pallas(
         jnp.asarray(E), jnp.asarray(full_c), jnp.asarray(lb),
-        jnp.asarray(ub), max_iter, interpret=interpret)
+        jnp.asarray(ub), max_iter, interpret=interpret, group=group)
 
     # accurate recovery via the shared final-solution path (float32 LU)
     basis_j = jnp.asarray(basis)
