@@ -76,30 +76,43 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
     if basis0 is None:
         basis = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None, :], (B, 1))
         in_basis1 = jnp.concatenate([jnp.ones(M, bool), jnp.zeros(N, bool)])
-        Binv0 = jnp.eye(M, dtype=dtype)
+        in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
+        Binv = jnp.broadcast_to(
+            jnp.eye(M, dtype=dtype)[None], (B, M, M)) + jnp.zeros(
+            (B, 1, 1), dtype)
+    elif jnp.asarray(basis0).ndim == 2:
+        # per-instance warm start: batched LU of each candidate's basis
+        basis = jnp.asarray(basis0, jnp.int32)
+        in_basis = jax.vmap(
+            lambda b: jnp.zeros(NT, bool).at[b].set(True))(basis)
+        Bmat = jax.vmap(sx._build_basis_matrix, in_axes=(None, 0))(A, basis)
+        lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
+        eye = jnp.eye(M, dtype=dtype)
+        Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
     else:
         basis0 = jnp.asarray(basis0, jnp.int32)
         basis = jnp.broadcast_to(basis0[None, :], (B, M))
         in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
+        in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
         Bmat = sx._build_basis_matrix(A, basis0)
         lu, piv = linalg.lu_factor(Bmat)
         Binv0 = linalg.lu_solve((lu, piv), jnp.eye(M, dtype=dtype))
-    in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
+        Binv = jnp.broadcast_to(Binv0[None], (B, M, M)) + jnp.zeros(
+            (B, 1, 1), dtype)
     if at_upper0 is None:
         at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
     else:
-        at_upper = jnp.broadcast_to(
-            jnp.asarray(at_upper0, bool)[None, :], (B, NT))
+        at_upper0 = jnp.asarray(at_upper0, bool)
+        if at_upper0.ndim == 1:
+            at_upper0 = at_upper0[None, :]
+        at_upper = jnp.broadcast_to(at_upper0, (B, NT))
         at_upper = at_upper & jnp.isfinite(ub) & ~in_basis
         at_upper = at_upper | ((~jnp.isfinite(lb)) & jnp.isfinite(ub)
                                & ~in_basis)
     zn = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
     # xb = Binv (-E zn)
     rhs = -sx._e_matmul(A, zn)                                     # (B, M)
-    xb = jnp.einsum("ij,bj->bi", Binv0, rhs) if basis0 is not None \
-        else rhs
-    Binv = jnp.broadcast_to(Binv0[None], (B, M, M)) + jnp.zeros(
-        (B, 1, 1), dtype)
+    xb = rhs if basis0 is None else jnp.einsum("bij,bj->bi", Binv, rhs)
     zeros = jnp.zeros(B, jnp.int32)
     lbB = jnp.take_along_axis(lb, basis, axis=1)
     ubB = jnp.take_along_axis(ub, basis, axis=1)

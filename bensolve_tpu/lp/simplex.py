@@ -56,6 +56,9 @@ OPTIMAL = 1
 INFEASIBLE = 2
 UNBOUNDED = 3
 ITLIM = 4
+DUAL_LOST = 5  # dual simplex lost dual feasibility: retry with primal
+#   (the batched analogue of GLPK's GLP_DUALP dual->primal fallback,
+#   bslv_lp.c:190-192 + lp_solve retry, bslv_lp.c:219-227)
 
 BLAND_AFTER = 64  # consecutive degenerate steps before switching to Bland
 
@@ -153,29 +156,43 @@ def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
     if basis0 is None:
         basis = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None, :], (B, 1))
         in_basis1 = jnp.concatenate([jnp.ones(M, bool), jnp.zeros(N, bool)])
-        W0 = E
+        in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
+        W = jnp.broadcast_to(E[None], (B, M, NT)) + jnp.zeros((B, 1, 1),
+                                                              dtype)
+    elif jnp.asarray(basis0).ndim == 2:
+        # per-instance warm start (e.g. each frontier candidate descends
+        # from the basis of the LP that generated it): batched LU
+        basis = jnp.asarray(basis0, jnp.int32)
+        in_basis = jax.vmap(
+            lambda b: jnp.zeros(NT, bool).at[b].set(True))(basis)
+        Bmat = jax.vmap(_build_basis_matrix, in_axes=(None, 0))(A, basis)
+        lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
+        W = jax.vmap(lambda f, p: linalg.lu_solve((f, p), E))(lu, piv)
     else:
         basis0 = jnp.asarray(basis0, jnp.int32)
         basis = jnp.broadcast_to(basis0[None, :], (B, M))
         in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
+        in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
         Bmat = _build_basis_matrix(A, basis0)
         lu, piv = linalg.lu_factor(Bmat)
         W0 = linalg.lu_solve((lu, piv), E)
-    in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
+        W = jnp.broadcast_to(W0[None], (B, M, NT)) + jnp.zeros((B, 1, 1),
+                                                               dtype)
     if at_upper0 is None:
         at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
     else:
-        at_upper = jnp.broadcast_to(
-            jnp.asarray(at_upper0, bool)[None, :], (B, NT))
+        at_upper0 = jnp.asarray(at_upper0, bool)
+        if at_upper0.ndim == 1:
+            at_upper0 = at_upper0[None, :]
+        at_upper = jnp.broadcast_to(at_upper0, (B, NT))
         # only meaningful where resting at ub is actually possible
         at_upper = at_upper & jnp.isfinite(ub) & ~in_basis
         # a nonbasic with only an upper bound must rest there
         at_upper = at_upper | ((~jnp.isfinite(lb)) & jnp.isfinite(ub)
                                & ~in_basis)
     zn = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
-    # xb solves B xb = -E zn;  Binv(-E zn) = -W0 @ zn
-    xb = -jnp.einsum("mn,bn->bm", W0, zn)
-    W = jnp.broadcast_to(W0[None], (B, M, NT)) + jnp.zeros((B, 1, 1), dtype)
+    # xb solves B xb = -E zn;  xb = -W @ zn
+    xb = -jnp.einsum("bmn,bn->bm", W, zn)
     zeros = jnp.zeros(B, jnp.int32)
     lbB = jnp.take_along_axis(lb, basis, axis=1)
     ubB = jnp.take_along_axis(ub, basis, axis=1)
@@ -406,6 +423,43 @@ MAX_CHUNK = 256  # largest batch shape compiled; bigger batches split
 TABLEAU_BYTES_BUDGET = 2 << 30  # cap on the (B, M, NT) tableau size
 
 
+def _slice_warm(start_basis, sl):
+    """Restrict a warm start to a batch chunk (per-instance arrays are
+    sliced; a shared basis applies to every chunk unchanged)."""
+    if start_basis is None:
+        return None
+    b0, u0 = (start_basis if isinstance(start_basis, tuple)
+              else (start_basis, None))
+    if np.asarray(b0).ndim == 2:
+        b0 = np.asarray(b0)[sl]
+        if u0 is not None and np.asarray(u0).ndim == 2:
+            u0 = np.asarray(u0)[sl]
+    return b0 if u0 is None else (b0, u0)
+
+
+def _pad_warm(start_basis, Mp, NTp, B, Bp):
+    """Normalize a warm start to jit inputs: (basis, at_upper) arrays,
+    per-instance rows padded to the bucketed batch by replicating row 0."""
+    if isinstance(start_basis, tuple):
+        b0, u0 = start_basis
+    else:
+        b0, u0 = start_basis, None
+    b0 = np.asarray(b0, np.int32)
+    if u0 is None:
+        u0 = np.zeros(NTp if b0.ndim == 1 else (b0.shape[0], NTp), bool)
+    u0 = np.asarray(u0, bool)
+    if b0.ndim == 2:
+        if b0.shape[0] < Bp:
+            b0 = np.concatenate(
+                [b0, np.broadcast_to(b0[:1], (Bp - b0.shape[0], Mp))])
+        if u0.ndim == 1:
+            u0 = np.broadcast_to(u0[None], (Bp, NTp)).copy()
+        elif u0.shape[0] < Bp:
+            u0 = np.concatenate(
+                [u0, np.broadcast_to(u0[:1], (Bp - u0.shape[0], NTp))])
+    return b0, u0
+
+
 def _auto_chunk(M: int, N: int, itemsize: int) -> int:
     """Largest power-of-two batch whose tableau fits the byte budget."""
     per = (M + 8) * (M + N + 16) * itemsize
@@ -443,7 +497,8 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
             parts.append(solve_batch(
                 A, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
-                max_iter=max_iter, dtype=dtype, start_basis=start_basis,
+                max_iter=max_iter, dtype=dtype,
+                start_basis=_slice_warm(start_basis, sl),
                 max_chunk=chunk))
         return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
                           for f in dataclasses.fields(LPResult)))
@@ -482,14 +537,10 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
         out = _solve_batch_jit(jnp.asarray(A_p), jnp.asarray(full_c),
                                jnp.asarray(lb), jnp.asarray(ub), max_iter)
     else:
-        if isinstance(start_basis, tuple):
-            b0, u0 = start_basis
-        else:
-            b0, u0 = start_basis, np.zeros(Mp + Np, bool)
+        b0, u0 = _pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         out = _solve_batch_warm_jit(
             jnp.asarray(A_p), jnp.asarray(full_c), jnp.asarray(lb),
-            jnp.asarray(ub), jnp.asarray(b0, jnp.int32),
-            jnp.asarray(u0, bool), max_iter)
+            jnp.asarray(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

@@ -71,6 +71,32 @@ def test_revised_warm_start():
     assert warm.iters[i0] <= cold.iters[i0]
 
 
+def test_per_instance_warm_start():
+    """(B, M) warm starts: each instance restarts from ITS OWN optimal
+    basis and must re-verify optimality in zero pivots (both solvers)."""
+    A, c, rlb, rub, clb, cub = _random_instances(7, 8, 32, 8)
+    for solver in (rv.solve_batch_revised, sx.solve_batch):
+        cold = solver(A, c, rlb, rub, clb, cub)
+        warm = solver(A, c, rlb, rub, clb, cub,
+                      start_basis=(cold.basis, cold.at_upper))
+        np.testing.assert_array_equal(warm.status, cold.status)
+        np.testing.assert_allclose(warm.obj, cold.obj, rtol=1e-9, atol=1e-9)
+        opt = cold.status == sx.OPTIMAL
+        assert opt.any() and (warm.iters[opt] == 0).all()
+
+
+def test_per_instance_warm_start_chunked():
+    """Per-instance warm starts survive batch chunking (_slice_warm)."""
+    A, c, rlb, rub, clb, cub = _random_instances(8, 6, 24, 20)
+    cold = sx.solve_batch(A, c, rlb, rub, clb, cub, max_chunk=8)
+    warm = sx.solve_batch(A, c, rlb, rub, clb, cub, max_chunk=8,
+                          start_basis=(cold.basis, cold.at_upper))
+    np.testing.assert_array_equal(warm.status, cold.status)
+    np.testing.assert_allclose(warm.obj, cold.obj, rtol=1e-9, atol=1e-9)
+    opt = cold.status == sx.OPTIMAL
+    assert opt.any() and (warm.iters[opt] == 0).all()
+
+
 def test_solve_auto_routes_tall():
     from bensolve_tpu.lp import solve_batch_auto
 
