@@ -3,15 +3,57 @@ revised simplex (tall problems, N >> M), per-LP Pallas kernel."""
 
 
 def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
-    """Route to the tableau or revised solver by aspect ratio: the
-    tableau carries (M+N)/M x more state per instance, so tall problems
-    (N >= REVISED_RATIO * M) go to the revised solver."""
+    """Route a batch of LPs to the best backend (the role of GLPK's
+    glp_simplex dispatch behind lp_solve, bslv_lp.c:219):
+
+    * tall problems (N >= REVISED_RATIO * M): revised simplex — the
+      tableau would carry (M+N)/M x more state per instance;
+    * float32 square-ish problems on a TPU backend: the Pallas kernel
+      (whole tableau resident in VMEM, grouped grid); anything it cannot
+      take (f64, huge M+N, warm-start shapes it lacks) falls through;
+    * otherwise: the XLA lockstep tableau solver.
+    """
     import numpy as np
 
     from bensolve_tpu.lp import revised, simplex
 
-    M, N = np.asarray(A).shape
+    if isinstance(A, simplex._PreparedA):
+        M, N = A.M, A.N
+    else:
+        M, N = np.asarray(A).shape
     if N >= revised.REVISED_RATIO * M:
         return revised.solve_batch_revised(A, c, row_lb, row_ub,
                                            col_lb, col_ub, **kw)
+    if _pallas_eligible(M, N, kw):
+        from bensolve_tpu.lp import pallas_simplex
+
+        res = pallas_simplex.try_solve_batch(A, c, row_lb, row_ub,
+                                             col_lb, col_ub, **kw)
+        if res is not None:
+            return res
     return simplex.solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, **kw)
+
+
+def _pallas_eligible(M: int, N: int, kw) -> bool:
+    """Cheap static gate before importing the Pallas path: f32 request
+    on a real TPU backend (or BENSOLVE_FORCE_PALLAS=1, which runs the
+    kernel in interpret mode — the CPU e2e test hook), tableau small
+    enough for VMEM residence."""
+    import os
+
+    import numpy as np
+
+    if np.dtype(kw.get("dtype", np.float64)) != np.dtype(np.float32):
+        return False
+    forced = os.environ.get("BENSOLVE_FORCE_PALLAS") == "1"
+    if not forced:
+        try:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:
+            return False
+    from bensolve_tpu.lp import pallas_simplex
+
+    return pallas_simplex.shape_supported(M, N)

@@ -1,19 +1,26 @@
-"""Pallas TPU kernel: a group of 8 LPs per grid step, tableaus resident
+"""Pallas TPU kernel: a group of LPs per grid step, tableaus resident
 in VMEM.
 
 The XLA lockstep batch (simplex._solve_batch_jit) pays two taxes on
 TPU: every while_loop iteration streams the whole (B, M, NT) tableau
 through HBM ~3x, and all B instances run until the SLOWEST one
 finishes.  This kernel instead assigns each grid step a GROUP of
-G = 8 LPs (8 = the float32 sublane count, so group-wide row vectors
-fill the VPU): the (G, M, NT) tableau block is loaded into VMEM once,
-every pivot is VMEM-resident VPU work, the lockstep tail shrinks from
-max-over-B to max-over-8, and the Pallas pipeline overlaps the next
-group's input DMA with the current group's pivoting.
+G LPs (a multiple of 8 = the float32 sublane count, so group-wide row
+vectors fill the VPU): the (G, M, NT) tableau block is loaded into VMEM
+once, every pivot is VMEM-resident VPU work, the lockstep tail shrinks
+from max-over-B to max-over-G, and the Pallas pipeline overlaps the
+next group's input DMA with the current group's pivoting.
+
+Warm starts: the kernel takes its INITIAL STATE as inputs — a shared
+starting tableau W0 (= E for a cold start, = Binv @ E of a previous
+round's optimal basis for a warm start, factorized once in XLA) plus
+the matching basis/bound-pattern rows.  This is the in-kernel analogue
+of GLPK's reuse of the previous basis (bslv_lp.c:31, 219-227): Benson
+re-solves that change only bounds/objective typically re-verify in a
+handful of pivots instead of re-deriving the basis from slacks.
 
 No gathers/scatters: all dynamic indexing is expressed as one-hot
-contractions (dot_general) and masked selects, which map directly onto
-the MXU/VPU.
+contractions and masked selects, which map directly onto the MXU/VPU.
 
 Semantics mirror simplex._step (composite phase-1 bounded-variable
 primal simplex, Dantzig/Bland pricing, bound flips, stability-broken
@@ -31,16 +38,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bensolve_tpu.lp import linalg
 from bensolve_tpu.lp import simplex as sx
 
 BIG = 1e30  # stands in for +-inf inside the kernel (inf breaks 0*inf)
 TOL_BND = 1e-5
 TOL_DJ = 1e-5
 TOL_PIV = 1e-6
-GROUP = 8  # LPs per grid step == f32 sublane count
+GROUP = 8  # minimum LPs per grid step == f32 sublane count
+
+# number of lp_batch_pallas invocations (production-path witness used by
+# tests and the driver to assert the kernel actually ran)
+CALLS = 0
 
 
-def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
+def _kernel(W0_ref, c_ref, lb_ref, ub_ref,
+            basis0_ref, basis0f_ref, in_basis0_ref, atup0_ref,
+            lbB0_ref, ubB0_ref, cB0_ref, lane_f_ref, mlane_f_ref,
             status_ref, basis_ref, at_upper_ref, iters_ref,
             W_ref, *, M, NT, max_iter):
     f32 = jnp.float32
@@ -50,27 +64,29 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
     # float iotas come in as inputs: Mosaic supports neither float iota
     # nor int->float casts (the convert lowering loops)
     lane_f = lane_f_ref[...]
-    mlane_f = mlane_f_ref[...]
+    del mlane                                                # unused
 
     c = c_ref[...]            # (G, NT)
     lb = lb_ref[...]
     ub = ub_ref[...]
-    W_ref[...] = jnp.broadcast_to(E_ref[...][None], (G, M, NT))
+    W_ref[...] = jnp.broadcast_to(W0_ref[...][None], (G, M, NT))
 
     lb_f = lb > -BIG
     ub_f = ub < BIG
     lo = jnp.where(lb_f, lb, jnp.where(ub_f, ub, 0.0))
     hi = jnp.where(ub_f, ub, jnp.where(lb_f, lb, 0.0))
 
-    basis0 = mlane                                  # slacks 0..M-1
-    # carried masks are int32 (0/1): Mosaic cannot lower selects whose
-    # VALUES are i1 vectors ("Unsupported target bitwidth for
-    # truncation" on real TPU); predicates stay boolean
-    in_basis0 = (lane < M).astype(jnp.int32)
-    at_upper0 = ((~lb_f) & ub_f & (in_basis0 == 0)).astype(jnp.int32)
-    lbB0 = jnp.where(lb_f, lb, -BIG)[:, :M]
-    ubB0 = jnp.where(ub_f, ub, BIG)[:, :M]
-    cB0 = c[:, :M]
+    # initial basis state arrives as data (cold: slack basis; warm: the
+    # previous solve's basis).  Carried masks are int32 (0/1): Mosaic
+    # cannot lower selects whose VALUES are i1 vectors; predicates stay
+    # boolean.
+    basis0 = basis0_ref[...]                         # (G, M) int32
+    basis0_f = basis0f_ref[...]                      # (G, M) f32 shadow
+    in_basis0 = in_basis0_ref[...]                   # (G, NT) int32
+    at_upper0 = atup0_ref[...]                       # (G, NT) int32
+    lbB0 = lbB0_ref[...]                             # (G, M)
+    ubB0 = ubB0_ref[...]
+    cB0 = cB0_ref[...]
 
     # batched matvecs as multiply+reduce: Mosaic's dot lowering cannot
     # express a batched vector-matrix product (no lhs non-contracting
@@ -147,7 +163,8 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
         bleave = jnp.where(cand, -basis_f, -BIG)
         r_bld = jnp.argmax(bleave, axis=1, keepdims=True).astype(jnp.int32)
         r = jnp.where(use_bland, r_bld, r_stab)
-        orow = mlane == r                                      # (G, M)
+        mlane_k = jax.lax.broadcasted_iota(jnp.int32, (G, M), 1)
+        orow = mlane_k == r                                    # (G, M)
         orow_f = jnp.where(orow, 1.0, 0.0).astype(f32)
 
         lb_q = jnp.where(jnp.any(lb_f & oq, axis=1, keepdims=True),
@@ -226,7 +243,7 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
                 at_upper_new, xb_new, lbB_new, ubB_new, cB_new, stall_new,
                 it_new)
 
-    init = (status0, basis0, mlane_f, in_basis0, at_upper0, xb0, lbB0,
+    init = (status0, basis0, basis0_f, in_basis0, at_upper0, xb0, lbB0,
             ubB0, cB0,
             jnp.zeros((G, 1), jnp.int32), jnp.zeros((G, 1), jnp.int32))
     (status, basis, basis_f, in_basis, at_upper, xb, lbB, ubB, cB, stall,
@@ -238,12 +255,16 @@ def _kernel(E_ref, c_ref, lb_ref, ub_ref, lane_f_ref, mlane_f_ref,
     basis_ref[...] = basis
 
 
-def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False, group=GROUP):
+def solve_batch_pallas(W0, c, lb, ub, basis0, at_upper0, max_iter,
+                       interpret=False, group=GROUP):
     """Run the grouped per-LP kernel over the batch.
 
-    ``E``: (M, NT) with E = [I | -A]; M % 8 == 0, NT % 128 == 0.
+    ``W0``: (M, NT) shared starting tableau — E = [I | -A] for a cold
+    start or Binv @ E of a shared warm basis; M % 8 == 0, NT % 128 == 0.
     ``c``/``lb``/``ub``: (B, NT) float32 (+-inf encoded as +-BIG);
-    B % ``group`` == 0.  Returns (status, basis, at_upper, iters).
+    B % ``group`` == 0.  ``basis0``: (M,) int32 basis matching W0.
+    ``at_upper0``: (B, NT) bool nonbasic bound pattern.
+    Returns (status, basis, at_upper, iters).
 
     ``group``: LPs per grid step (multiple of 8).  Larger groups make
     every VPU op wider, amortizing while-loop instruction overhead, at
@@ -255,16 +276,16 @@ def solve_batch_pallas(E, c, lb, ub, max_iter, interpret=False, group=GROUP):
     yields int64, whose int64->int32 cast loops forever in the Mosaic
     convert lowering."""
     with jax.enable_x64(False):
-        return _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret,
-                                       group)
+        return _solve_batch_pallas_jit(W0, c, lb, ub, basis0, at_upper0,
+                                       max_iter, interpret, group)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "interpret", "group"))
-def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False,
-                            group=GROUP):
+def _solve_batch_pallas_jit(W0, c, lb, ub, basis0, at_upper0, max_iter,
+                            interpret=False, group=GROUP):
     B, NT = c.shape
-    M = E.shape[0]
+    M = W0.shape[0]
     kern = functools.partial(_kernel, M=M, NT=NT, max_iter=max_iter)
     G = group
     import sys
@@ -276,6 +297,17 @@ def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False,
         jnp.arange(NT, dtype=jnp.float32)[None, :], (G, NT))
     mlane_f = jnp.broadcast_to(
         jnp.arange(M, dtype=jnp.float32)[None, :], (G, M))
+    # initial-state rows derived from (basis0, at_upper0) in XLA —
+    # gathers are cheap here and unsupported in Mosaic
+    basis0_b = jnp.broadcast_to(basis0[None, :].astype(jnp.int32), (G, M))
+    basis0_f = basis0_b.astype(jnp.float32)
+    in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
+    in_basis0 = jnp.broadcast_to(in_basis1[None, :], (G, NT))
+    atup = at_upper0 & ~in_basis1[None, :]
+    basis_rows = jnp.broadcast_to(basis0[None, :].astype(jnp.int32), (B, M))
+    lbB0 = jnp.take_along_axis(lb, basis_rows, axis=1)
+    ubB0 = jnp.take_along_axis(ub, basis_rows, axis=1)
+    cB0 = jnp.take_along_axis(c, basis_rows, axis=1)
     out = pl.pallas_call(
         kern,
         grid=(B // G,),
@@ -287,6 +319,20 @@ def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False,
             pl.BlockSpec((G, NT), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, NT), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NT), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NT), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, NT), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -316,7 +362,8 @@ def _solve_batch_pallas_jit(E, c, lb, ub, max_iter, interpret=False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(E, c, lb, ub, lane_f, mlane_f)
+    )(W0, c, lb, ub, basis0_b, basis0_f, in_basis0.astype(jnp.int32),
+      atup.astype(jnp.int32), lbB0, ubB0, cB0, lane_f, mlane_f)
     status, basis, at_upper, iters = out
     return status[:, 0], basis, at_upper.astype(bool), iters[:, 0]
 
@@ -335,39 +382,76 @@ MAX_GROUP = 256
 
 def _pick_group(M: int, NT: int, Bp: int) -> int:
     """Largest group (multiple of 8, <= MAX_GROUP, <= Bp) whose
-    (G, M, NT) f32 tableau block plus E fits the VMEM budget."""
+    (G, M, NT) f32 tableau block plus W0 fits the VMEM budget."""
     per_lp = M * NT * 4
-    avail = VMEM_BUDGET - M * NT * 4  # minus the shared E block
+    avail = VMEM_BUDGET - M * NT * 4  # minus the shared W0 block
     g = max(1, avail // max(per_lp, 1))
     g = min(int(g), MAX_GROUP, Bp)
     return max(GROUP, (g // GROUP) * GROUP) if g >= GROUP else GROUP
 
 
+def shape_supported(M: int, N: int) -> bool:
+    """True when a minimum-size group fits the VMEM budget (the gate
+    solve_batch_auto uses before routing a batch here)."""
+    Mp = sx._bucket(M)
+    NT = _pad128(Mp + sx._bucket(N))
+    return (GROUP + 2) * Mp * NT * 4 <= VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _warm_tableau(E, A_p, basis0):
+    """W0 = Binv @ E for a shared warm basis (one f32 LU in XLA)."""
+    Bmat = sx._build_basis_matrix(A_p, basis0)
+    lu, piv = linalg.lu_factor(Bmat)
+    return linalg.lu_solve((lu, piv), E)
+
+
+def try_solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
+                    max_iter=None, dtype=np.float32, start_basis=None,
+                    max_chunk=None, group=None,
+                    interpret=None) -> sx.LPResult | None:
+    """solve_batch-compatible entry used by solve_batch_auto: returns
+    None when this backend cannot take the call (per-instance warm
+    starts), so the caller falls through to the XLA tableau path."""
+    if start_basis is not None:
+        b0 = start_basis[0] if isinstance(start_basis, tuple) \
+            else start_basis
+        if np.asarray(b0).ndim != 1:
+            return None   # per-instance warm bases: XLA path only
+    return lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub,
+                           max_iter=max_iter, start_basis=start_basis,
+                           group=group, interpret=interpret)
+
+
 def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     max_iter: int | None = None,
                     interpret: bool | None = None,
+                    start_basis=None,
                     group: int | None = None) -> sx.LPResult:
     """solve_batch-compatible wrapper around the Pallas kernel (float32;
-    M padded to 8s, NT to 128s, batch to a multiple of the group size).
+    M padded to 8s, NT to 128s, batch to a power-of-two multiple of the
+    group size so frontier-size changes reuse few compiled shapes).
     Falls back to interpret mode off TPU so the same code path is
     testable on CPU."""
+    global CALLS
+    CALLS += 1
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = jax.default_backend() not in ("tpu",)
     dtype = np.float32
-    A = np.asarray(A, dtype)
-    M, N = A.shape
+    prep = sx._prepare_A(A, dtype)
+    A_np, M, N = prep.A, prep.M, prep.N
     c = np.atleast_2d(np.asarray(c, dtype))
     B = c.shape[0]
-    Mp = sx._bucket(M)
+    Mp = prep.Mp
     NT = _pad128(Mp + sx._bucket(N))
     Np = NT - Mp
     if group is None:
         group = GROUP if interpret else _pick_group(Mp, NT, -(-B // 8) * 8)
-    Bp = max(group, -(-B // group) * group)
+    # bucket the batch to a power-of-two multiple of the group (few
+    # compiled shapes across Benson rounds)
+    Bp = max(group, group * (1 << max(0, (-(-B // group)) - 1).bit_length()))
     if max_iter is None:
         max_iter = 50 * (Mp + Np) + 500
-    A_p = np.zeros((Mp, Np), dtype)
-    A_p[:M, :N] = A
 
     def _pad(arr, k, kp, fill):
         arr = np.asarray(arr, dtype)
@@ -383,13 +467,41 @@ def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
         [_pad(row_lb, M, Mp, -BIG), _pad(col_lb, N, Np, 0.0)], axis=1)
     ub = np.concatenate(
         [_pad(row_ub, M, Mp, BIG), _pad(col_ub, N, Np, 0.0)], axis=1)
-    lb = np.clip(lb, -BIG, BIG).astype(dtype)
-    ub = np.clip(ub, -BIG, BIG).astype(dtype)
-    E = np.concatenate([np.eye(Mp, dtype=dtype), -A_p], axis=1)
+    lb = np.clip(np.nan_to_num(lb, posinf=BIG, neginf=-BIG), -BIG, BIG
+                 ).astype(dtype)
+    ub = np.clip(np.nan_to_num(ub, posinf=BIG, neginf=-BIG), -BIG, BIG
+                 ).astype(dtype)
+    E = _prepared_E(prep, Np)
+
+    if start_basis is None:
+        basis0 = np.arange(Mp, dtype=np.int32)
+        atup_pattern = np.zeros(NT, bool)
+        W0 = jnp.asarray(E)
+    else:
+        if isinstance(start_basis, tuple):
+            b0, u0 = start_basis
+        else:
+            b0, u0 = start_basis, np.zeros(NT, bool)
+        basis0 = np.asarray(b0, np.int32)
+        u0 = np.asarray(u0, bool)
+        atup_pattern = np.zeros(NT, bool)
+        atup_pattern[: u0.size] = u0
+        with jax.enable_x64(False):
+            Ap_dev = jnp.asarray(np.asarray(
+                np.pad(np.asarray(A_np, dtype),
+                       ((0, Mp - M), (0, Np - N)))))
+            W0 = _warm_tableau(jnp.asarray(E), Ap_dev, jnp.asarray(basis0))
+
+    # default nonbasic rest pattern: only-upper-bounded rest at ub
+    in_b = np.zeros(NT, bool)
+    in_b[basis0] = True
+    atup_full = ((atup_pattern[None, :] | ((lb <= -BIG) & (ub < BIG)))
+                 & (ub < BIG) & ~in_b[None, :])
 
     status, basis, at_upper, iters = solve_batch_pallas(
-        jnp.asarray(E), jnp.asarray(full_c), jnp.asarray(lb),
-        jnp.asarray(ub), max_iter, interpret=interpret, group=group)
+        W0, jnp.asarray(full_c), jnp.asarray(lb),
+        jnp.asarray(ub), jnp.asarray(basis0), jnp.asarray(atup_full),
+        max_iter, interpret=interpret, group=group)
 
     # accurate recovery via the shared final-solution path (float32 LU)
     basis_j = jnp.asarray(basis)
@@ -397,6 +509,8 @@ def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
         jnp.arange(Bp)[:, None], basis_j].set(True)
     lbj = jnp.where(jnp.asarray(lb) <= -BIG, -jnp.inf, jnp.asarray(lb))
     ubj = jnp.where(jnp.asarray(ub) >= BIG, jnp.inf, jnp.asarray(ub))
+    A_p = np.zeros((Mp, Np), dtype)
+    A_p[:M, :N] = np.asarray(A_np, dtype)
     st = sx._State(
         basis=basis_j, in_basis=in_basis, at_upper=jnp.asarray(at_upper),
         W=None, xb=None, lbB=None, ubB=None,
@@ -410,7 +524,29 @@ def lp_batch_pallas(A, c, row_lb, row_ub, col_lb, col_ub, *,
                        np.asarray(x)[:B, :N], np.asarray(s_act)[:B, :M],
                        np.asarray(row_dual)[:B, :M],
                        np.asarray(col_dual)[:B, :N],
-                       np.asarray(iters)[:B], np.asarray(basis)[:B])
+                       np.asarray(iters)[:B], np.asarray(basis)[:B],
+                       np.asarray(at_upper)[:B])
+
+
+_E_CACHE: dict = {}
+
+
+def _prepared_E(prep: sx._PreparedA, Np: int) -> np.ndarray:
+    """E = [I | -A_padded] for the pallas NT padding, memoized like
+    _prepare_A (keyed on the prepared matrix identity)."""
+    key = (id(prep), Np)
+    hit = _E_CACHE.get(key)
+    if hit is not None and hit[0] is prep:
+        return hit[1]
+    dtype = np.float32
+    M, N, Mp = prep.M, prep.N, prep.Mp
+    A_p = np.zeros((Mp, Np), dtype)
+    A_p[:M, :N] = np.asarray(prep.A, dtype)
+    E = np.concatenate([np.eye(Mp, dtype=dtype), -A_p], axis=1)
+    if len(_E_CACHE) > 8:
+        _E_CACHE.clear()
+    _E_CACHE[key] = (prep, E)
+    return E
 
 
 @jax.jit

@@ -300,8 +300,8 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                         max_chunk: int | None = None) -> LPResult:
     """Drop-in alternative to simplex.solve_batch for N >> M (same
     padding, chunking, and warm-start contract)."""
-    A_arr = np.asarray(A)
-    M, N = A_arr.shape
+    prep = sx._prepare_A(A, dtype)
+    M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
     if max_chunk is None:
         # Binv dominates: (B, M, M) + shared A
         per = (M + 8) * (M + 8) * np.dtype(dtype).itemsize * 3
@@ -313,50 +313,29 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
         for s in range(0, c2.shape[0], max_chunk):
             sl = slice(s, s + max_chunk)
             parts.append(solve_batch_revised(
-                A, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
+                prep, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
-                max_iter=max_iter, dtype=dtype, start_basis=start_basis,
+                max_iter=max_iter, dtype=dtype,
+                start_basis=sx._slice_warm(start_basis, sl),
                 max_chunk=max_chunk))
         return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
                           for f in dataclasses.fields(LPResult)))
 
-    A_arr = np.asarray(A, dtype)
-    c = np.atleast_2d(np.asarray(c, dtype))
-    B = c.shape[0]
-    Mp, Np = sx._bucket(M), sx._bucket(N)
-    Bp = max(8, 1 << (B - 1).bit_length())
+    B = c2.shape[0]
+    Bp = sx._bucket_batch(B, Mp)
     if max_iter is None:
         max_iter = 50 * (Mp + Np) + 500
-    A_p = np.zeros((Mp, Np), dtype)
-    A_p[:M, :N] = A_arr
-
-    def _pad(arr, k, kp, fill):
-        arr = np.asarray(arr, dtype)
-        out = np.full((Bp, kp), fill, dtype)
-        out[:B, :k] = arr
-        if Bp > B:
-            out[B:, :k] = arr[:1]
-        return out
-
-    full_c = np.concatenate(
-        [np.zeros((Bp, Mp), dtype), _pad(c, N, Np, 0.0)], axis=1)
-    lb = np.concatenate(
-        [_pad(row_lb, M, Mp, -np.inf), _pad(col_lb, N, Np, 0.0)], axis=1)
-    ub = np.concatenate(
-        [_pad(row_ub, M, Mp, np.inf), _pad(col_ub, N, Np, 0.0)], axis=1)
+    full_c, lb, ub = sx._pad_batch_inputs(prep, c2, row_lb, row_ub,
+                                          col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
-        out = _solve_revised_jit(jnp.asarray(A_p), jnp.asarray(full_c),
+        out = _solve_revised_jit(prep.dev, jnp.asarray(full_c),
                                  jnp.asarray(lb), jnp.asarray(ub), max_iter)
     else:
-        if isinstance(start_basis, tuple):
-            b0, u0 = start_basis
-        else:
-            b0, u0 = start_basis, np.zeros(Mp + Np, bool)
+        b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         out = _solve_revised_warm_jit(
-            jnp.asarray(A_p), jnp.asarray(full_c), jnp.asarray(lb),
-            jnp.asarray(ub), jnp.asarray(b0, jnp.int32),
-            jnp.asarray(u0, bool), max_iter)
+            prep.dev, jnp.asarray(full_c), jnp.asarray(lb),
+            jnp.asarray(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

@@ -41,6 +41,7 @@ lambda_i >= 0 for a binding lower row bound of a min problem).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -423,6 +424,85 @@ MAX_CHUNK = 256  # largest batch shape compiled; bigger batches split
 TABLEAU_BYTES_BUDGET = 2 << 30  # cap on the (B, M, NT) tableau size
 
 
+@dataclasses.dataclass
+class _PreparedA:
+    """A constraint matrix padded to its bucketed shape and kept resident
+    on device, so per-round Benson solves do not re-pad (host memcpy) and
+    re-transfer (host->device) a matrix that never changes.  For ex09
+    (m=4608, n=36939, SURVEY.md section 6) the padded matrix is ~0.8 GB
+    in f32 — re-uploading it every round would dominate the solve."""
+
+    A: np.ndarray       # original (strong ref keeps the cache key valid)
+    M: int
+    N: int
+    Mp: int
+    Np: int
+    dev: jax.Array      # (Mp, Np) padded, on the default device
+
+
+_A_CACHE: collections.OrderedDict = collections.OrderedDict()
+_A_CACHE_MAX = 8
+
+
+def _prepare_A(A, dtype) -> _PreparedA:
+    """Pad ``A`` to bucketed dims and place it on device, memoized by
+    object identity (callers must not mutate ``A`` after first use —
+    Benson templates build their LP matrix once and never touch it)."""
+    if isinstance(A, _PreparedA):
+        return A
+    key = (id(A), np.dtype(dtype).str)
+    hit = _A_CACHE.get(key)
+    if hit is not None and hit.A is A:
+        _A_CACHE.move_to_end(key)
+        return hit
+    arr = np.asarray(A, dtype)
+    M, N = arr.shape
+    Mp, Np = _bucket(M), _bucket(N)
+    A_p = np.zeros((Mp, Np), dtype)
+    A_p[:M, :N] = arr
+    prep = _PreparedA(A if isinstance(A, np.ndarray) else arr,
+                      M, N, Mp, Np, jnp.asarray(A_p))
+    _A_CACHE[key] = prep
+    while len(_A_CACHE) > _A_CACHE_MAX:
+        _A_CACHE.popitem(last=False)
+    return prep
+
+
+def _bucket_batch(B: int, Mp: int) -> int:
+    """Bucket the batch axis to a power of two (few compiled shapes).
+    Small problems get a floor of 8 (padding instances are nearly free);
+    large-M problems pay O(M^2) state per padding instance, so they use
+    the exact power of two down to 1."""
+    Bp = 1 << max(0, B - 1).bit_length()
+    return max(8, Bp) if Mp <= 1024 else max(1, Bp)
+
+
+def _pad_batch_inputs(prep: _PreparedA, c, row_lb, row_ub, col_lb, col_ub,
+                      Bp, dtype):
+    """(B, *) objective/bounds -> padded (Bp, Mp+Np) jit inputs.  Padding
+    instances replicate row 0 (real, terminating data); padding columns
+    are fixed at zero so they never enter the basis usefully."""
+    M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
+    c = np.atleast_2d(np.asarray(c, dtype))
+    B = c.shape[0]
+
+    def _pad(arr, k, kp, fill):
+        arr = np.asarray(arr, dtype)
+        out = np.full((Bp, kp), fill, dtype)
+        out[:B, :k] = arr
+        if Bp > B:
+            out[B:, :k] = arr[:1]
+        return out
+
+    full_c = np.concatenate(
+        [np.zeros((Bp, Mp), dtype), _pad(c, N, Np, 0.0)], axis=1)
+    lb = np.concatenate(
+        [_pad(row_lb, M, Mp, -np.inf), _pad(col_lb, N, Np, 0.0)], axis=1)
+    ub = np.concatenate(
+        [_pad(row_ub, M, Mp, np.inf), _pad(col_ub, N, Np, 0.0)], axis=1)
+    return full_c, lb, ub
+
+
 def _slice_warm(start_basis, sl):
     """Restrict a warm start to a batch chunk (per-instance arrays are
     sliced; a shared basis applies to every chunk unchanged)."""
@@ -484,9 +564,9 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
     chunks, so arbitrarily large frontiers reuse ONE compiled shape and
     the tableau memory stays bounded.
     """
+    prep = _prepare_A(A, dtype)
     if max_chunk is None:
-        Ma, Na = np.asarray(A).shape
-        chunk = _auto_chunk(Ma, Na, np.dtype(dtype).itemsize)
+        chunk = _auto_chunk(prep.M, prep.N, np.dtype(dtype).itemsize)
     else:
         chunk = max_chunk
     c2 = np.atleast_2d(np.asarray(c))
@@ -495,51 +575,29 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
         for s in range(0, c2.shape[0], chunk):
             sl = slice(s, s + chunk)
             parts.append(solve_batch(
-                A, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
+                prep, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
                 max_iter=max_iter, dtype=dtype,
                 start_basis=_slice_warm(start_basis, sl),
                 max_chunk=chunk))
         return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
                           for f in dataclasses.fields(LPResult)))
-    A = np.asarray(A, dtype)
-    M, N = A.shape
-    c = np.atleast_2d(np.asarray(c, dtype))
-    B = c.shape[0]
-    Mp, Np = _bucket(M), _bucket(N)
-    # bucket the batch axis as well (next power of two: few shapes):
-    # Benson frontiers change size every round, and each distinct B
-    # would otherwise recompile.  Padding instances replicate row 0
-    # (real, terminating data); their results are sliced off below.
-    Bp = max(8, 1 << (B - 1).bit_length())
+    M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
+    B = c2.shape[0]
+    Bp = _bucket_batch(B, Mp)
     if max_iter is None:
         # derived from the PADDED dims so it is as bucketed as the shapes
         max_iter = 50 * (Mp + Np) + 500
-    A_p = np.zeros((Mp, Np), dtype)
-    A_p[:M, :N] = A
-
-    def _pad(arr, k, kp, fill):
-        arr = np.asarray(arr, dtype)
-        out = np.full((Bp, kp), fill, dtype)
-        out[:B, :k] = arr
-        if Bp > B:
-            out[B:, :k] = arr[:1]
-        return out
-
-    full_c = np.concatenate(
-        [np.zeros((Bp, Mp), dtype), _pad(c, N, Np, 0.0)], axis=1)
-    lb = np.concatenate(
-        [_pad(row_lb, M, Mp, -np.inf), _pad(col_lb, N, Np, 0.0)], axis=1)
-    ub = np.concatenate(
-        [_pad(row_ub, M, Mp, np.inf), _pad(col_ub, N, Np, 0.0)], axis=1)
+    full_c, lb, ub = _pad_batch_inputs(prep, c2, row_lb, row_ub,
+                                       col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
-        out = _solve_batch_jit(jnp.asarray(A_p), jnp.asarray(full_c),
+        out = _solve_batch_jit(prep.dev, jnp.asarray(full_c),
                                jnp.asarray(lb), jnp.asarray(ub), max_iter)
     else:
         b0, u0 = _pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         out = _solve_batch_warm_jit(
-            jnp.asarray(A_p), jnp.asarray(full_c), jnp.asarray(lb),
+            prep.dev, jnp.asarray(full_c), jnp.asarray(lb),
             jnp.asarray(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)

@@ -33,6 +33,29 @@ def test_matches_xla_batch(seed):
     np.testing.assert_array_equal(ref.iters, got.iters)
 
 
+def test_warm_start_shared_basis():
+    """A shared warm basis (previous solve's optimum of instance 0)
+    must keep results identical and cut pivots for that instance."""
+    args = make(16, 16, 8, seed=2)
+    cold = lp_batch_pallas(*args)
+    i0 = int(np.flatnonzero(cold.status == sx.OPTIMAL)[0])
+    warm = lp_batch_pallas(
+        *args, start_basis=(cold.basis[i0], cold.at_upper[i0]))
+    np.testing.assert_array_equal(cold.status, warm.status)
+    np.testing.assert_allclose(cold.obj, warm.obj, rtol=1e-5, atol=1e-5)
+    assert warm.iters[i0] == 0
+    assert warm.iters[i0] < cold.iters[i0]
+
+
+def test_try_solve_batch_rejects_per_instance_warm():
+    from bensolve_tpu.lp.pallas_simplex import try_solve_batch
+
+    args = make(16, 16, 8, seed=3)
+    cold = lp_batch_pallas(*args)
+    assert try_solve_batch(
+        *args, start_basis=(cold.basis, cold.at_upper)) is None
+
+
 def test_statuses():
     # optimal, infeasible (crossed row bounds), unbounded in one batch
     A = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
