@@ -146,7 +146,21 @@ def solve(vlp: VLPProblem, opt: Options | None = None,
         sol_chk.cone_pair, sol_chk.cone_swap = sol.cone_pair, sol.cone_swap
         sol = sol_chk
         stats.lps, stats.rounds = meta["lps"], meta["round"]
-        swap = meta["phase"] == "phase2_dual"
+        phase = meta["phase"]
+        if phase.startswith("phase1"):
+            # finish phase 1 from the snapshot (R/H extraction included),
+            # then continue with the normal phase-2 path below
+            if phase == "phase1_primal":
+                phases.phase1_primal(sol, vlp, P_eff, opt, stats,
+                                     resume_pair=pair_chk)
+            else:
+                phases.phase1_dual(sol, vlp, P_eff, opt, stats,
+                                   resume_pair=pair_chk)
+            swap = opt.alg_phase2 is Alg.DUAL
+            pair = (phases.phase2_dual if swap else
+                    phases.phase2_primal)(sol, vlp, P_eff, opt, stats)
+            return _finish(vlp, opt, sol, pair, swap, stats, t0)
+        swap = phase == "phase2_dual"
         if not swap:
             pair = phases.phase2_primal(sol, vlp, P_eff, opt, stats,
                                         resume_pair=pair_chk)

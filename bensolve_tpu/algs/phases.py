@@ -39,6 +39,46 @@ class Stats:
     lps: int = 0
     rounds: int = 0
     cuts: int = 0
+    pivots: int = 0   # total simplex pivots (warm-start efficacy metric)
+
+
+class _FacetWarm:
+    """Per-candidate warm starts (the batched analogue of GLPK's
+    carried basis, bslv_lp.c:31): map each frontier candidate to the
+    final basis of the LP whose cut created it.  A new vertex always
+    lies on the facet its cut added, so the basis of the most recently
+    added incident facet is the natural parent basis."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.by_facet: dict[int, tuple] = {}
+        self.serial = 0
+
+    def record(self, facet, basis, at_upper) -> None:
+        if self.enabled and facet is not None and basis is not None:
+            self.by_facet[int(facet)] = (self.serial, np.asarray(basis),
+                                         np.asarray(at_upper))
+            self.serial += 1
+
+    def lookup(self, poly, cand):
+        """(B, M) parent bases for the candidate vertices, or None when
+        nothing is known yet (first round)."""
+        if not self.enabled or not self.by_facet:
+            return None
+        rows = []
+        for idx in cand:
+            best = None
+            for f in poly.inc[int(idx)]:
+                e = self.by_facet.get(int(f))
+                if e is not None and (best is None or e[0] > best[0]):
+                    best = e
+            rows.append(best)
+        if all(r is None for r in rows):
+            return None
+        fill = next(r for r in rows if r is not None)
+        basis = np.stack([(r if r is not None else fill)[1] for r in rows])
+        atup = np.stack([(r if r is not None else fill)[2] for r in rows])
+        return basis, atup
 
 
 def _check_all_optimal(res, what: str) -> None:
@@ -72,8 +112,11 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     Sets sol.eta, or sol.status to UNBOUNDED / NOVERTEX."""
     q = sol.q
     m = vlp.m
-    t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS)
+    t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
+                    lp_verbose=opt.lp_message_level)
 
+    if opt.message_level >= 3:
+        print("solve lp")   # bslv_algs.c:685
     res = t2.solve(np.zeros((1, sol.p)))
     stats.lps += 1
     if res.status[0] == simplex.UNBOUNDED:
@@ -140,34 +183,45 @@ def _extract_R_H(sol: SolutionContext, lower_poly, opt: Options,
 
 
 def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
-                  opt: Options, stats: Stats) -> PolytopePair:
+                  opt: Options, stats: Stats,
+                  resume_pair: PolytopePair | None = None) -> PolytopePair:
     """Outer-approximate the recession cone of the upper image
-    (homogeneous Benson, reference bslv_algs.c:811-933)."""
+    (homogeneous Benson, reference bslv_algs.c:811-933).
+    ``resume_pair``: continue the main loop from a checkpointed outer
+    approximation instead of re-seeding."""
     q = sol.q
-    pair = PolytopePair(q, eps=POLY_EPS,
-                        dual_v2h=make_lower_to_upper_v2h(sol.c))
     t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS,
-                    dtype=opt.lp_dtype)
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level)
     p = sol.p
 
-    # PART 1: one LP per column of Z, each with only its own extra row
-    # active (bslv_algs.c:828-848) — batched
-    ub = np.full((p, p), np.inf)
-    np.fill_diagonal(ub, 0.0)
-    res = t2.solve(ub)
-    stats.lps += p
-    _check_all_optimal(res, "phase1_primal init")
-    for j in range(p):
-        val = np.empty(q)
-        val[: q - 1] = sol.Z[: q - 1, j]
-        val[q - 1] = res.obj[j]
-        pair.add_vertex(val, ideal=False)
-    if not pair.initial_approx():
-        raise RuntimeError("phase1_primal: initial approximation failed")
+    if resume_pair is not None:
+        pair = resume_pair
+    else:
+        pair = PolytopePair(q, eps=POLY_EPS,
+                            dual_v2h=make_lower_to_upper_v2h(sol.c))
+        # PART 1: one LP per column of Z, each with only its own extra
+        # row active (bslv_algs.c:828-848) — batched
+        ub = np.full((p, p), np.inf)
+        np.fill_diagonal(ub, 0.0)
+        res = t2.solve(ub)
+        stats.lps += p
+        _check_all_optimal(res, "phase1_primal init")
+        for j in range(p):
+            val = np.empty(q)
+            val[: q - 1] = sol.Z[: q - 1, j]
+            val[q - 1] = res.obj[j]
+            pair.add_vertex(val, ideal=False)
+        if not pair.initial_approx():
+            raise RuntimeError(
+                "phase1_primal: initial approximation failed")
 
     # PART 2: batched main loop
     _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase1, stats,
-                        phase1=True, distributed=opt.distributed)
+                        phase1=True, distributed=opt.distributed,
+                        warm_mode=opt.warm_mode,
+                        verbose=opt.message_level,
+                        on_round=_checkpoint_cb(opt, sol, "phase1_primal",
+                                                "lower2upper"))
 
     # PART 3: R and H
     _extract_R_H(sol, pair.dual, opt, stats)
@@ -178,18 +232,30 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                         sol: SolutionContext, eps: float, stats: Stats,
                         *, phase1: bool, pre_img: bool = False,
                         optdir: int = 1, on_round=None,
-                        distributed: bool = False) -> None:
+                        distributed: bool = False,
+                        warm_mode: str = "auto",
+                        verbose: int = 0) -> None:
     """Shared main loop of the primal phases: per round, solve P2(v) for
     every unprocessed non-ideal vertex v of the outer approximation and
     either cut (obj > eps) or finalize the vertex.
 
     ``distributed``: shard the round's LP batch across jax processes,
     all-gather the cuts, and apply them in canonical (lexicographic)
-    order so every host's replicated polytope stays bit-identical."""
+    order so every host's replicated polytope stays bit-identical.
+
+    ``warm_mode``: "per_candidate" warm-starts every LP from its parent
+    basis (_FacetWarm), "shared" keeps only the template's carried
+    basis, "auto" picks per-candidate unless the batch routes to the
+    Pallas kernel (which broadcasts ONE starting tableau) or runs
+    distributed (remote bases are not gathered)."""
     P = pair.primal
     q = sol.q
     ZR = sol.Z if phase1 else sol.R
     m = t2.m
+    warm = _FacetWarm(
+        warm_mode == "per_candidate"
+        or (warm_mode == "auto" and not distributed
+            and not t2.prefers_shared_warm()))
     while True:
         frontier = P.frontier()
         if frontier.size == 0:
@@ -207,9 +273,14 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
             solve_idx = cand[local]
         else:
             solve_idx = cand
+        if verbose >= 3:
+            for _ in range(cand.size):   # bslv_algs.c:877
+                print("process primal vertex - solve lp")
         V = P.data[solve_idx]                  # (B_local, q)
-        res = t2.solve(V @ ZR)                 # ub_j = ZR_j . v
+        res = t2.solve(V @ ZR,                 # ub_j = ZR_j . v
+                       start_basis=warm.lookup(P, solve_idx))
         stats.lps += cand.size
+        stats.pivots += int(res.iters.sum())
         _check_all_optimal(res,
                            "phase1_primal loop" if phase1 else "phase2_primal loop")
         W = t2.duals_w(res)                    # (B_local, q)
@@ -240,7 +311,7 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
             rows = np.concatenate(
                 [solve_idx[:, None].astype(float), passed[:, None],
                  ystars, primgs, xs], axis=1)
-            rows = dist.allgather_rows(rows)
+            rows = dist.allgather_rows(rows, total=cand.size)
             idx_all = rows[:, 0].astype(int)
             passed_all = rows[:, 1] > 0.5
             ystars = rows[:, 2:2 + q]
@@ -258,6 +329,7 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
             order = np.arange(idx_all.size)
 
         progressed = False
+        round_cuts = round_final = 0
         for i in order:
             idx = int(idx_all[i])
             if not P.used[idx]:
@@ -266,12 +338,24 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                 primg = primgs[i] if pre_img else None
                 if pair.add_vertex(ystars[i], ideal=False, primg=primg):
                     stats.cuts += 1
+                    round_cuts += 1
                     progressed = True
+                    if verbose >= 3:   # bslv_algs.c:888
+                        print("add dual vertex")
+                    if not distributed and res.basis is not None:
+                        warm.record(pair.last_added, res.basis[i],
+                                    res.at_upper[i])
             else:
                 P.sltn[idx] = True
+                round_final += 1
                 progressed = True
                 if pre_img and not phase1:
                     P.primg[idx, : t2.n] = xs[i]
+        if verbose >= 2:
+            name = "phase1_primal" if phase1 else "phase2_primal"
+            print(f"[{name}] round {stats.rounds}: {cand.size} LPs, "
+                  f"{round_cuts} cuts, {round_final} finalized, "
+                  f"{stats.lps} LPs total")
         if not progressed:
             # cannot happen for live vertices (a vertex always violates
             # its own eps-passing cut); defensive stall guard
@@ -318,7 +402,7 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     pre = opt.solution
     t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS,
-                    dtype=opt.lp_dtype)
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level)
     r = sol.r
 
     if resume_pair is not None:
@@ -355,6 +439,8 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     _benson_primal_loop(pair, t2, sol, opt.eps_benson_phase2, stats,
                         phase1=False, pre_img=bool(pre), optdir=vlp.optdir,
                         distributed=opt.distributed,
+                        warm_mode=opt.warm_mode,
+                        verbose=opt.message_level,
                         on_round=_checkpoint_cb(opt, sol, "phase2_primal",
                                                 "lower2upper"))
 
@@ -389,27 +475,37 @@ def _direction_preimages(sol: SolutionContext, vlp: VLPProblem,
 
 
 def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
-                opt: Options, stats: Stats) -> PolytopePair:
+                opt: Options, stats: Stats,
+                resume_pair: PolytopePair | None = None) -> PolytopePair:
     """Homogeneous dual Benson on the lower image (reference
     bslv_algs.c:1248-1371).  The pair's primal polytope is the LOWER
     image; upper-image points arrive as dual vertices."""
     q = sol.q
-    pair = PolytopePair(q, eps=POLY_EPS,
-                        dual_v2h=make_upper_to_lower_v2h(sol.c))
-    t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype)
+    t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype,
+                    lp_verbose=opt.lp_message_level)
 
-    # PART 1: weighted LP at the mean of Z plus Y columns as directions
-    w0 = sol.Z.mean(axis=1)
-    res = t1.solve(w0[None])
-    stats.lps += 1
-    _check_all_optimal(res, "phase1_dual init")
-    pair.add_vertex(t1.primal_y(res)[0], ideal=False)
-    for j in range(sol.o):
-        pair.add_vertex(sol.Y[:, j], ideal=True)
-    if not pair.initial_approx():
-        raise RuntimeError("phase1_dual: initial approximation failed")
+    if resume_pair is not None:
+        pair = resume_pair
+    else:
+        pair = PolytopePair(q, eps=POLY_EPS,
+                            dual_v2h=make_upper_to_lower_v2h(sol.c))
+        # PART 1: weighted LP at the mean of Z plus Y columns as
+        # directions
+        w0 = sol.Z.mean(axis=1)
+        res = t1.solve(w0[None])
+        stats.lps += 1
+        _check_all_optimal(res, "phase1_dual init")
+        pair.add_vertex(t1.primal_y(res)[0], ideal=False)
+        for j in range(sol.o):
+            pair.add_vertex(sol.Y[:, j], ideal=True)
+        if not pair.initial_approx():
+            raise RuntimeError("phase1_dual: initial approximation failed")
 
-    _benson_dual_loop(pair, t1, sol, opt.eps_benson_phase1, stats)
+    _benson_dual_loop(pair, t1, sol, opt.eps_benson_phase1, stats,
+                      distributed=opt.distributed, warm_mode=opt.warm_mode,
+                      verbose=opt.message_level,
+                      on_round=_checkpoint_cb(opt, sol, "phase1_dual",
+                                              "upper2lower"))
     _extract_R_H(sol, pair.primal, opt, stats)
     return pair
 
@@ -427,11 +523,21 @@ def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
                       sol: SolutionContext, eps: float, stats: Stats,
                       *, pre_img: bool = False, optdir: int = 1,
                       allow_unbounded: bool = False,
-                      on_round=None) -> SolStatus | None:
+                      on_round=None, warm_mode: str = "auto",
+                      distributed: bool = False,
+                      verbose: int = 0) -> SolStatus | None:
     """Shared main loop of the dual phases: per round, solve P1(w(y*))
-    for every unprocessed vertex y* of the lower-image approximation."""
+    for every unprocessed vertex y* of the lower-image approximation.
+
+    ``distributed``: shard the round's LP batch across jax processes
+    and all-gather the resulting lower-image points (same replicated-
+    polytope discipline as _benson_primal_loop)."""
     P = pair.primal
     q = sol.q
+    warm = _FacetWarm(
+        warm_mode == "per_candidate"
+        or (warm_mode == "auto" and not distributed
+            and not t1.prefers_shared_warm()))
     while True:
         frontier = P.frontier()
         if frontier.size == 0:
@@ -442,33 +548,88 @@ def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
         if cand.size == 0:
             continue
         stats.rounds += 1
-        V = P.data[cand].copy()
+        if distributed:
+            from bensolve_tpu.parallel import distributed as dist
+
+            local = dist.shard_indices(cand.size)
+            solve_idx = cand[local]
+        else:
+            solve_idx = cand
+        if verbose >= 3:
+            for _ in range(cand.size):   # bslv_algs.c:1319
+                print("process dual vertex - solve lp")
+        V = P.data[solve_idx].copy()
         W = _w_of_ystar(V, sol.c)
-        res = t1.solve(W)
+        res = t1.solve(W, start_basis=warm.lookup(P, solve_idx))
         stats.lps += cand.size
-        if allow_unbounded:
-            for i in range(cand.size):
-                if res.status[i] == simplex.UNBOUNDED:
-                    return SolStatus.UNBOUNDED
-        _check_all_optimal(res, "dual Benson loop")
+        stats.pivots += int(res.iters.sum())
+        unbnd = (res.status == simplex.UNBOUNDED)
+        if allow_unbounded and not distributed and unbnd.any():
+            return SolStatus.UNBOUNDED
+        if not distributed:
+            _check_all_optimal(res, "dual Benson loop")
         Y = t1.primal_y(res)
+        B_local = solve_idx.size
+        passed = V[:, q - 1] - res.obj > eps
+        m = t1.m
+        if pre_img:
+            xs = t1.primal_x(res)
+            uws = np.concatenate([
+                t1.duals_u(res) * (1 if optdir == 1 else -1),
+                W * (1 if sol.c_dir.value > 0 else -1)], axis=1)
+        else:
+            xs = np.zeros((B_local, 0))
+            uws = np.zeros((B_local, 0))
+
+        if distributed:
+            rows = np.concatenate(
+                [solve_idx[:, None].astype(float), passed[:, None],
+                 unbnd[:, None].astype(float), Y, xs, uws], axis=1)
+            rows = dist.allgather_rows(rows, total=cand.size)
+            if allow_unbounded and (rows[:, 2] > 0.5).any():
+                return SolStatus.UNBOUNDED
+            _check_all_optimal(res, "dual Benson loop")
+            idx_all = rows[:, 0].astype(int)
+            passed_all = rows[:, 1] > 0.5
+            Y = rows[:, 3:3 + q]
+            xs = rows[:, 3 + q:3 + q + xs.shape[1]]
+            uws = rows[:, 3 + q + xs.shape[1]:]
+            order = np.concatenate([
+                np.flatnonzero(~passed_all),
+                np.flatnonzero(passed_all)[
+                    dist.canonical_order(Y[passed_all])]])
+        else:
+            idx_all = solve_idx
+            passed_all = passed
+            order = np.arange(idx_all.size)
+
         progressed = False
-        for i, idx in enumerate(cand):
-            idx = int(idx)
+        round_cuts = round_final = 0
+        for i in order:
+            idx = int(idx_all[i])
             if not P.used[idx]:
                 continue
-            if V[i, q - 1] - res.obj[i] > eps:
-                primg = t1.primal_x(res)[i] if pre_img else None
+            if passed_all[i]:
+                primg = xs[i] if pre_img else None
                 if pair.add_vertex(Y[i], ideal=False, primg=primg):
                     stats.cuts += 1
+                    round_cuts += 1
                     progressed = True
+                    if verbose >= 3:   # bslv_algs.c:1327
+                        print("add primal vertex")
+                    if not distributed and res.basis is not None:
+                        warm.record(pair.last_added, res.basis[i],
+                                    res.at_upper[i])
             else:
                 P.sltn[idx] = True
+                round_final += 1
                 progressed = True
                 if pre_img:
-                    u = t1.duals_u(res)[i] * (1 if optdir == 1 else -1)
-                    w = W[i] * (1 if sol.c_dir.value > 0 else -1)
-                    P.primg[idx, : u.size + q] = np.concatenate([u, w])
+                    P.primg[idx, : m + q] = uws[i]
+        if verbose >= 2:
+            print(f"[benson_dual] round {stats.rounds}: {cand.size} LPs, "
+                  f"{round_cuts} cuts, {round_final} finalized, "
+                  f"{stats.lps} LPs total")
         if not progressed:
             P.sltn[cand] = True
             break
@@ -486,7 +647,7 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     pre = opt.solution
     t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS,
-                    dtype=opt.lp_dtype)
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level)
 
     if resume_pair is not None:
         pair = resume_pair
@@ -514,6 +675,9 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     status = _benson_dual_loop(pair, t1, sol, opt.eps_benson_phase2, stats,
                                pre_img=bool(pre), optdir=vlp.optdir,
                                allow_unbounded=True,
+                               distributed=opt.distributed,
+                               warm_mode=opt.warm_mode,
+                               verbose=opt.message_level,
                                on_round=_checkpoint_cb(opt, sol,
                                                        "phase2_dual",
                                                        "upper2lower"))

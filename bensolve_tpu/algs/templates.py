@@ -38,8 +38,11 @@ INHOMOGENEOUS = False
 
 class _TemplateBase:
     def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
-                 dtype=np.float64):
+                 dtype=np.float64, lp_verbose: int = 0):
         self.dtype = np.dtype(dtype).type
+        # -M / lp_message_level analogue (bslv_lp.c:200-215): >= 2 emits
+        # one summary line per batched solve on stdout
+        self.lp_verbose = lp_verbose
         self.vlp = vlp
         self.m, self.n, self.q = vlp.m, vlp.n, vlp.q
         self.P_eff = P_eff
@@ -52,42 +55,61 @@ class _TemplateBase:
         # batched analogue of GLPK's in-place warm start)
         self._warm = None
 
-    def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub) -> LPResult:
+    def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub,
+             start_basis=None) -> LPResult:
+        warm = start_basis if start_basis is not None else self._warm
         res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb, col_ub,
-                               start_basis=self._warm, dtype=self.dtype)
+                               start_basis=warm, dtype=self.dtype)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round
             self._warm = (res.basis[int(ok[0])], res.at_upper[int(ok[0])])
+        if self.lp_verbose >= 2:
+            counts = dict(zip(*np.unique(res.status, return_counts=True)))
+            print(f"lp_solve: batch={res.status.size} "
+                  f"statuses={{{', '.join(f'{k}:{v}' for k, v in counts.items())}}} "
+                  f"pivots max={int(res.iters.max())} "
+                  f"mean={float(res.iters.mean()):.1f} "
+                  f"warm={'yes' if warm is not None else 'no'}")
         return res
 
-    def _vlp_blocks(self):
-        """Rows [A 0...], [-P I 0...] and their bounds; y columns free."""
+    def prefers_shared_warm(self) -> bool:
+        """True when per-candidate (B, M) warm bases would knock the
+        batch off its best backend: the Pallas kernel only takes a
+        shared basis (it broadcasts ONE starting tableau into VMEM)."""
+        from bensolve_tpu.lp import _pallas_eligible
+
+        M, N = self.A_lp.shape
+        return _pallas_eligible(M, N, {"dtype": self.dtype})
+
+    def _alloc_lp_matrix(self, extra_rows: int, extra_cols: int):
+        """Preallocated LP matrix with the shared VLP blocks filled in:
+        rows [A 0 ...], [-P I ...]; the caller fills the extra rows.
+        One allocation + one copy of A — at ex09 scale (A ~ 1.4 GB,
+        SURVEY.md section 6) chained np.concatenate calls copy the big
+        block several times over."""
         m, n, q = self.m, self.n, self.q
-        vlp = self.vlp
-        top = np.concatenate([vlp.A, np.zeros((m, q))], axis=1)
-        mid = np.concatenate([-self.P_eff, np.eye(q)], axis=1)
-        return top, mid
+        A_lp = np.zeros((m + q + extra_rows, n + q + extra_cols))
+        A_lp[:m, :n] = self.vlp.A
+        A_lp[m:m + q, :n] = -self.P_eff
+        A_lp[m:m + q, n:n + q] = np.eye(q)
+        return A_lp
 
 
 class P2Template(_TemplateBase):
     def __init__(self, vlp, P_eff, ZR: np.ndarray, eta: np.ndarray,
-                 homogeneous: bool, dtype=np.float64):
-        super().__init__(vlp, P_eff, homogeneous, dtype)
+                 homogeneous: bool, dtype=np.float64, lp_verbose: int = 0):
+        super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose)
         m, n, q = self.m, self.n, self.q
         ZR = np.asarray(ZR, float)
         self.p = ZR.shape[1]
         self.ZR = ZR
-        top, mid = self._vlp_blocks()
-        # add the z column
-        top = np.concatenate([top, np.zeros((m, 1))], axis=1)
-        mid = np.concatenate([mid, np.zeros((q, 1))], axis=1)
-        zrow = np.concatenate(
-            [np.zeros((self.p, n)), ZR.T, -np.ones((self.p, 1))], axis=1)
-        erow = np.concatenate(
-            [np.zeros((1, n)), np.asarray(eta, float)[None, :],
-             np.zeros((1, 1))], axis=1)
-        self.A_lp = np.concatenate([top, mid, zrow, erow])  # (m+q+p+1, n+q+1)
+        p = self.p
+        A_lp = self._alloc_lp_matrix(p + 1, 1)   # (m+q+p+1, n+q+1)
+        A_lp[m + q:m + q + p, n:n + q] = ZR.T
+        A_lp[m + q:m + q + p, n + q] = -1.0      # the z column
+        A_lp[m + q + p, n:n + q] = np.asarray(eta, float)
+        self.A_lp = A_lp
         self.obj = np.zeros(n + q + 1)
         self.obj[n + q] = 1.0
         self.col_lb = np.concatenate(
@@ -96,9 +118,12 @@ class P2Template(_TemplateBase):
             [self.col_ub_vlp, np.full(q + 1, np.inf)])
 
     def solve(self, extra_ub: np.ndarray,
-              eta_ub: float | np.ndarray | None = None) -> LPResult:
+              eta_ub: float | np.ndarray | None = None,
+              start_basis=None) -> LPResult:
         """``extra_ub``: (B, p) upper bounds ZR'v (+inf rows inactive);
-        ``eta_ub``: bound of the eta row (default: 1 hom / +inf inhom)."""
+        ``eta_ub``: bound of the eta row (default: 1 hom / +inf inhom);
+        ``start_basis``: per-call warm start overriding the template's
+        shared carried basis (e.g. (B, M) per-candidate parent bases)."""
         extra_ub = np.atleast_2d(np.asarray(extra_ub, float))
         B = extra_ub.shape[0]
         if eta_ub is None:
@@ -119,7 +144,8 @@ class P2Template(_TemplateBase):
             self.A_lp, np.broadcast_to(self.obj, (B, self.obj.size)),
             row_lb, row_ub,
             np.broadcast_to(self.col_lb, (B, self.col_lb.size)),
-            np.broadcast_to(self.col_ub, (B, self.col_ub.size)))
+            np.broadcast_to(self.col_ub, (B, self.col_ub.size)),
+            start_basis=start_basis)
 
     # result accessors (index maps mirror the reference getter calls)
     def duals_w(self, res: LPResult) -> np.ndarray:
@@ -143,18 +169,18 @@ class P2Template(_TemplateBase):
 
 class P1Template(_TemplateBase):
     def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool,
-                 dtype=np.float64):
-        super().__init__(vlp, P_eff, homogeneous, dtype)
+                 dtype=np.float64, lp_verbose: int = 0):
+        super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose)
         m, n, q = self.m, self.n, self.q
-        top, mid = self._vlp_blocks()
-        erow = np.concatenate(
-            [np.zeros((1, n)), np.asarray(eta, float)[None, :]], axis=1)
-        self.A_lp = np.concatenate([top, mid, erow])  # (m+q+1, n+q)
+        A_lp = self._alloc_lp_matrix(1, 0)       # (m+q+1, n+q)
+        A_lp[m + q, n:n + q] = np.asarray(eta, float)
+        self.A_lp = A_lp
         self.col_lb = np.concatenate([self.col_lb_vlp, np.full(q, -np.inf)])
         self.col_ub = np.concatenate([self.col_ub_vlp, np.full(q, np.inf)])
 
     def solve(self, w_batch: np.ndarray,
-              eta_ub: float | np.ndarray | None = None) -> LPResult:
+              eta_ub: float | np.ndarray | None = None,
+              start_basis=None) -> LPResult:
         """``w_batch``: (B, q) objective weights on the y variables."""
         w_batch = np.atleast_2d(np.asarray(w_batch, float))
         B = w_batch.shape[0]
@@ -175,7 +201,8 @@ class P1Template(_TemplateBase):
         return self._run(
             self.A_lp, obj, row_lb, row_ub,
             np.broadcast_to(self.col_lb, (B, self.col_lb.size)),
-            np.broadcast_to(self.col_ub, (B, self.col_ub.size)))
+            np.broadcast_to(self.col_ub, (B, self.col_ub.size)),
+            start_basis=start_basis)
 
     def primal_x(self, res: LPResult) -> np.ndarray:
         return res.x[:, : self.n]

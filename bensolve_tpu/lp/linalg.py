@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 
 
 def _tiny(dtype):
@@ -23,7 +24,45 @@ def _tiny(dtype):
                        else 1e-20, dtype)
 
 
+def _use_native(dtype) -> bool:
+    """XLA's built-in LuDecomposition is available (and far faster —
+    blocked, not an M-step rank-1 loop) for every dtype except float64
+    on TPU.  The custom loop below exists only for that case."""
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float64):
+        return True
+    return jax.default_backend() != "tpu"
+
+
 def lu_factor(A):
+    """LU with partial pivoting of a single (M, M) matrix (scipy
+    lu_factor contract).  Dispatches to XLA's native decomposition when
+    supported; the hand-rolled loop covers float64-on-TPU only."""
+    if _use_native(A.dtype):
+        LU, piv = jsl.lu_factor(A)
+        # clamp numerically-singular pivots exactly like the custom path:
+        # LAPACK returns a zero diagonal for a singular basis and the
+        # subsequent solve would produce inf/nan; the simplex endgame
+        # wants "whatever accuracy survives" instead
+        d = jnp.diagonal(LU)
+        tiny = _tiny(LU.dtype)
+        d_fixed = jnp.where(jnp.abs(d) < tiny,
+                            jnp.where(d < 0, -tiny, tiny), d)
+        M = LU.shape[0]
+        LU = LU.at[jnp.arange(M), jnp.arange(M)].set(d_fixed)
+        return LU, piv
+    return _lu_factor_custom(A)
+
+
+def lu_solve(lu_and_piv, b, trans: int = 0):
+    """Solve A x = b (trans=0) or A^T x = b (trans=1) from lu_factor
+    output.  ``b`` may be (M,) or (M, K)."""
+    LU, piv = lu_and_piv
+    if _use_native(LU.dtype):
+        return jsl.lu_solve((LU, piv), b, trans=trans)
+    return _lu_solve_custom((LU, piv), b, trans)
+
+
+def _lu_factor_custom(A):
     """LU with partial pivoting of a single (M, M) matrix.
 
     Returns (LU, piv): strictly-lower L factors and upper U packed in
@@ -70,9 +109,7 @@ def _apply_piv(piv, b, reverse: bool):
     return jax.lax.fori_loop(0, M, body, b)
 
 
-def lu_solve(lu_and_piv, b, trans: int = 0):
-    """Solve A x = b (trans=0) or A^T x = b (trans=1) from lu_factor
-    output.  ``b`` may be (M,) or (M, K)."""
+def _lu_solve_custom(lu_and_piv, b, trans: int = 0):
     LU, piv = lu_and_piv
     M = LU.shape[0]
     vec = b.ndim == 1

@@ -260,6 +260,29 @@ def _rstep(A, c, lb, ub, st: _RState) -> _RState:
                    new_status, stall_new, iters_new, st.step + 1)
 
 
+# pivots between basis-inverse refactorizations.  The product-form
+# rank-1 updates drift (GLPK refactorizes every ~100 pivots for the
+# same reason); without this, hundreds-of-pivot chains (ex07/ex09
+# scale) can misclassify statuses before the endgame LU repairs the
+# solution values.  float32 drifts faster than float64.
+REFACTOR_EVERY_F32 = 64
+REFACTOR_EVERY_F64 = 200
+
+
+def _refactor(A, c, lb, ub, st: _RState) -> _RState:
+    """Recompute Binv and xb from a fresh batched LU of the current
+    basis, discarding accumulated product-form error."""
+    M = A.shape[0]
+    dtype = c.dtype
+    Bmat = jax.vmap(sx._build_basis_matrix, in_axes=(None, 0))(A, st.basis)
+    lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
+    eye = jnp.eye(M, dtype=dtype)
+    Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
+    zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
+    xb = jnp.einsum("bij,bj->bi", Binv, -sx._e_matmul(A, zn))
+    return dataclasses.replace(st, Binv=Binv, xb=xb)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def _solve_revised_jit(A, c, lb, ub, max_iter):
     return _solve_revised_core(A, c, lb, ub, None, None, max_iter)
@@ -272,11 +295,19 @@ def _solve_revised_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
 
 def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
     st = _initial_rstate(A, c, lb, ub, basis0, at_upper0)
+    every = (REFACTOR_EVERY_F32
+             if c.dtype == jnp.dtype(jnp.float32) else REFACTOR_EVERY_F64)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
 
-    st = jax.lax.while_loop(cond, lambda s: _rstep(A, c, lb, ub, st=s), st)
+    def body(s):
+        s = _rstep(A, c, lb, ub, st=s)
+        return jax.lax.cond(s.step % every == 0,
+                            lambda t: _refactor(A, c, lb, ub, t),
+                            lambda t: t, s)
+
+    st = jax.lax.while_loop(cond, body, st)
     status = jnp.where(st.status == RUNNING, ITLIM, st.status)
 
     final = sx._State(basis=st.basis, in_basis=st.in_basis,

@@ -40,15 +40,31 @@ def shard_indices(n: int, *, process_id: int | None = None,
     return np.arange(pid, n, pcount)
 
 
-def allgather_rows(local: np.ndarray) -> np.ndarray:
+def allgather_rows(local: np.ndarray, total: int | None = None
+                   ) -> np.ndarray:
     """Concatenate each process's rows (single-process: identity).
     Multi-host: jax.experimental.multihost_utils.process_allgather over
-    the default mesh."""
-    if jax.process_count() == 1:
-        return np.asarray(local)
+    the default mesh.
+
+    ``total``: global row count (known to every host — the frontier
+    size).  Strided shards differ in length by one, and the collective
+    needs equal shapes, so local rows are padded to ceil(total/P) with
+    NaN rows that are dropped after the gather."""
+    local = np.asarray(local)
+    pcount = jax.process_count()
+    if pcount == 1:
+        return local
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+    if total is None:
+        total = local.shape[0] * pcount
+    rows_max = -(-total // pcount)
+    if local.shape[0] < rows_max:
+        pad = np.full((rows_max - local.shape[0], local.shape[1]), np.nan)
+        local = np.concatenate([local, pad])
+    out = np.asarray(multihost_utils.process_allgather(local, tiled=True))
+    keep = ~np.all(np.isnan(out), axis=1)
+    return out[keep]
 
 
 def canonical_order(cuts: np.ndarray) -> np.ndarray:

@@ -283,6 +283,7 @@ class PolytopePair:
 
         self._queue: list[int] = []   # dual vertices queued before init
         self.initialised = False
+        self.last_added: int | None = None  # facet slot of the last cut
 
     # -- hyperplane helpers ------------------------------------------------
     def _hp_of_dual(self, idx: int) -> np.ndarray:
@@ -307,6 +308,7 @@ class PolytopePair:
         k = D.append()
         D.data[k] = np.asarray(val, float)
         D.ideal[k] = bool(ideal)
+        self.last_added = k   # facet slot, for callers tracking cut origins
         if primg is not None and D.dim_primg:
             D.primg[k, : D.dim_primg] = np.asarray(primg, float)
 
@@ -320,6 +322,7 @@ class PolytopePair:
         violated = np.flatnonzero(live & (slack < -self.eps))
         if violated.size == 0:
             D.used[k] = False  # redundant halfspace
+            self.last_added = None
             return False
         self._cut(int(violated[0]), hp)
         self._wire_new_facet_adjacency(k)

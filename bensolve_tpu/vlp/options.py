@@ -70,6 +70,11 @@ class Options:
     write_files: bool = True       # emit the .sol/.log artifact family
     poly_test: bool = False        # run polytope integrity checks (POLY_TEST)
     lp_max_batch: int = 4096       # cap on LPs solved per device round
+    warm_mode: str = "auto"        # LP warm starts across Benson rounds:
+    #   "per_candidate" seeds every frontier LP from the basis of the LP
+    #   whose cut created it, "shared" carries one basis per template,
+    #   "auto" picks per-candidate unless the batch routes to the Pallas
+    #   kernel or runs distributed
     checkpoint_path: str = ""      # snapshot phase-2 state here per round
     checkpoint_every: int = 1      # rounds between snapshots
     profile_dir: str = ""          # write a jax.profiler trace here

@@ -33,6 +33,23 @@ def test_profile_trace(tmp_path):
         list(tmp_path.iterdir())
 
 
+def test_message_levels(capsys):
+    """-m 3 prints per-LP/per-cut progress lines (bslv_algs.c:877,888)
+    plus per-round summaries; -M 2 makes the LP layer emit batch
+    summaries (the lp_message_level analogue, bslv_lp.c:200-215)."""
+    vlp = read_vlp(f"{EX}/ex01.vlp")
+    solve(vlp, Options(message_level=3, lp_message_level=2))
+    out = capsys.readouterr().out
+    assert "process primal vertex - solve lp" in out
+    assert "add dual vertex" in out
+    assert "round" in out and "LPs" in out
+    assert "lp_solve: batch=" in out
+
+    # default levels stay quiet
+    solve(vlp, Options())
+    assert "lp_solve" not in capsys.readouterr().out
+
+
 def test_stdout_listing(capsys):
     from bensolve_tpu.algs.driver import solve_file
     import tempfile, os

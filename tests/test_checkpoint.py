@@ -25,6 +25,37 @@ def test_checkpoint_resume_matches(tmp_path):
     assert _vset(r1) == _vset(r2)
 
 
+def test_phase1_checkpoint_resume(tmp_path, monkeypatch):
+    """Phase-1 rounds are checkpointable too: simulate a crash right
+    after the first phase-1 snapshot and resume from it."""
+    import pytest
+
+    from bensolve_tpu.io import checkpoint as ckpt
+
+    ck = str(tmp_path / "p1.ckpt")
+    vlp = read_vlp(f"{EX}/ex05.vlp")
+    ref = solve(vlp, Options())
+
+    real = ckpt.save_checkpoint
+    state = {"crashed": False}
+
+    def crash_after_first_phase1(path, **kw):
+        real(path, **kw)
+        if kw["phase"].startswith("phase1"):
+            state["crashed"] = True
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(ckpt, "save_checkpoint", crash_after_first_phase1)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        solve(vlp, Options(checkpoint_path=ck, checkpoint_every=1))
+    assert state["crashed"]
+    monkeypatch.setattr(ckpt, "save_checkpoint", real)
+
+    r2 = solve(vlp, Options(), resume=ck)
+    assert r2.status is SolStatus.OPTIMAL
+    assert _vset(r2) == _vset(ref)
+
+
 def test_checkpoint_resume_dual_alg(tmp_path):
     ck = str(tmp_path / "st.ckpt")
     vlp = read_vlp(f"{EX}/ex01.vlp")

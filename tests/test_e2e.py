@@ -160,6 +160,21 @@ def test_dual_algorithm_matches_primal():
     check_support(r_d)
 
 
+def test_per_candidate_warm_starts_cut_pivots():
+    """warm_mode=per_candidate must (a) keep results identical and
+    (b) spend fewer total simplex pivots than shared-basis warm starts
+    (VERDICT r1 item 6; the reference's implicit warm-start strategy,
+    bslv_lp.c:31)."""
+    r_shared = run("ex05", warm_mode="shared")
+    r_pc = run("ex05", warm_mode="per_candidate")
+    assert r_pc.status is SolStatus.OPTIMAL
+    got_s = sorted(map(tuple, np.round(r_shared.primal_points, 6)))
+    got_p = sorted(map(tuple, np.round(r_pc.primal_points, 6)))
+    assert got_s == got_p
+    assert r_pc.stats.pivots < r_shared.stats.pivots, \
+        (r_pc.stats, r_shared.stats)
+
+
 def test_pallas_kernel_in_solver(monkeypatch):
     """The production Benson path must execute the Pallas kernel when
     float32 LPs are requested on a TPU backend (forced to interpret

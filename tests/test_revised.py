@@ -71,6 +71,21 @@ def test_revised_warm_start():
     assert warm.iters[i0] <= cold.iters[i0]
 
 
+def test_long_pivot_chain_refactorization_f32():
+    """float32 pivot chains long enough to cross several periodic
+    refactorizations must still match the float64 oracle."""
+    A, c, rlb, rub, clb, cub = _random_instances(11, 48, 320, 4)
+    res = rv.solve_batch_revised(A, c, rlb, rub, clb, cub,
+                                 dtype=np.float32)
+    assert res.iters.max() > rv.REFACTOR_EVERY_F32
+    for i in range(4):
+        st, obj, _ = scipy_solve(A, c[i], rlb[i], rub[i], clb[i], cub[i])
+        assert res.status[i] == st
+        if st == sx.OPTIMAL:
+            np.testing.assert_allclose(res.obj[i], obj, rtol=1e-3,
+                                       atol=1e-3)
+
+
 def test_per_instance_warm_start():
     """(B, M) warm starts: each instance restarts from ITS OWN optimal
     basis and must re-verify optimality in zero pivots (both solvers)."""
