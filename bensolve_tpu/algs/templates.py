@@ -117,13 +117,11 @@ class P2Template(_TemplateBase):
         self.col_ub = np.concatenate(
             [self.col_ub_vlp, np.full(q + 1, np.inf)])
 
-    def solve(self, extra_ub: np.ndarray,
-              eta_ub: float | np.ndarray | None = None,
-              start_basis=None) -> LPResult:
-        """``extra_ub``: (B, p) upper bounds ZR'v (+inf rows inactive);
-        ``eta_ub``: bound of the eta row (default: 1 hom / +inf inhom);
-        ``start_basis``: per-call warm start overriding the template's
-        shared carried basis (e.g. (B, M) per-candidate parent bases)."""
+    def build_inputs(self, extra_ub: np.ndarray,
+                     eta_ub: float | np.ndarray | None = None):
+        """The per-candidate LP batch data (obj, row_lb, row_ub, col_lb,
+        col_ub) without solving — used by the lockstep many-VLP engine
+        to merge batches across instances (algs/many.py)."""
         extra_ub = np.atleast_2d(np.asarray(extra_ub, float))
         B = extra_ub.shape[0]
         if eta_ub is None:
@@ -140,12 +138,22 @@ class P2Template(_TemplateBase):
             np.zeros((B, q)),
             extra_ub,
             eta_ub[:, None]], axis=1)
-        return self._run(
-            self.A_lp, np.broadcast_to(self.obj, (B, self.obj.size)),
-            row_lb, row_ub,
-            np.broadcast_to(self.col_lb, (B, self.col_lb.size)),
-            np.broadcast_to(self.col_ub, (B, self.col_ub.size)),
-            start_basis=start_basis)
+        return (np.broadcast_to(self.obj, (B, self.obj.size)),
+                row_lb, row_ub,
+                np.broadcast_to(self.col_lb, (B, self.col_lb.size)),
+                np.broadcast_to(self.col_ub, (B, self.col_ub.size)))
+
+    def solve(self, extra_ub: np.ndarray,
+              eta_ub: float | np.ndarray | None = None,
+              start_basis=None) -> LPResult:
+        """``extra_ub``: (B, p) upper bounds ZR'v (+inf rows inactive);
+        ``eta_ub``: bound of the eta row (default: 1 hom / +inf inhom);
+        ``start_basis``: per-call warm start overriding the template's
+        shared carried basis (e.g. (B, M) per-candidate parent bases)."""
+        obj, row_lb, row_ub, col_lb, col_ub = self.build_inputs(
+            extra_ub, eta_ub)
+        return self._run(self.A_lp, obj, row_lb, row_ub, col_lb, col_ub,
+                         start_basis=start_basis)
 
     # result accessors (index maps mirror the reference getter calls)
     def duals_w(self, res: LPResult) -> np.ndarray:

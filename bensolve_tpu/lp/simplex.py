@@ -96,23 +96,35 @@ def _nb_value(lb, ub, at_upper):
 
 
 def _e_matmul(A, v):
-    """E @ v for E = [I | -A]; v has shape (..., M+N)."""
-    M = A.shape[0]
+    """E @ v for E = [I | -A]; v has shape (..., M+N).  ``A`` may be
+    (M, N) shared or (B, M, N) per-instance (scenario batches)."""
+    M = A.shape[-2]
+    if A.ndim == 3:
+        return v[..., :M] - jnp.einsum("bn,bmn->bm", v[..., M:], A)
     return v[..., :M] - v[..., M:] @ A.T
 
 
 def _e_rmatmul(A, y):
     """E^T @ y; y has shape (..., M)."""
+    if A.ndim == 3:
+        return jnp.concatenate([y, -jnp.einsum("bm,bmn->bn", y, A)],
+                               axis=-1)
     return jnp.concatenate([y, -(y @ A)], axis=-1)
 
 
 def _build_basis_matrix(A, basis):
-    """B matrix (M, M) whose columns are E[:, basis[k]]."""
+    """B matrix (M, M) whose columns are E[:, basis[k]] (A is (M, N))."""
     M, N = A.shape
     is_aux = basis < M
     eye_cols = jax.nn.one_hot(basis, M, dtype=A.dtype).T          # (M, M)
     a_cols = -A[:, jnp.clip(basis - M, 0, N - 1)]                  # (M, M)
     return jnp.where(is_aux[None, :], eye_cols, a_cols)
+
+
+def _batched_basis_matrices(A, bases):
+    """(B, M, M) basis matrices for (B, M) bases; shared or 3-D A."""
+    return jax.vmap(_build_basis_matrix,
+                    in_axes=(0 if A.ndim == 3 else None, 0))(A, bases)
 
 
 @dataclasses.dataclass
@@ -151,24 +163,41 @@ def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
     guess costs one bound-flip iteration (box-constrained problems pay
     hundreds)."""
     B, NT = c.shape
-    M, N = A.shape
+    M, N = A.shape[-2:]
     dtype = c.dtype
-    E = jnp.concatenate([jnp.eye(M, dtype=dtype), -A], axis=1)   # (M, NT)
+    if A.ndim == 3:
+        E = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(M, dtype=dtype)[None], (B, M, M)),
+             -A], axis=2)                                         # (B, M, NT)
+    else:
+        E = jnp.concatenate([jnp.eye(M, dtype=dtype), -A], axis=1)
+    if basis0 is not None and jnp.asarray(basis0).ndim == 1 and A.ndim == 3:
+        # a shared warm basis over per-instance matrices is still a
+        # per-instance factorization
+        basis0 = jnp.broadcast_to(
+            jnp.asarray(basis0, jnp.int32)[None, :], (B, M))
     if basis0 is None:
         basis = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None, :], (B, 1))
         in_basis1 = jnp.concatenate([jnp.ones(M, bool), jnp.zeros(N, bool)])
         in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
-        W = jnp.broadcast_to(E[None], (B, M, NT)) + jnp.zeros((B, 1, 1),
-                                                              dtype)
+        if A.ndim == 3:
+            W = E
+        else:
+            W = jnp.broadcast_to(E[None], (B, M, NT)) + jnp.zeros(
+                (B, 1, 1), dtype)
     elif jnp.asarray(basis0).ndim == 2:
         # per-instance warm start (e.g. each frontier candidate descends
         # from the basis of the LP that generated it): batched LU
         basis = jnp.asarray(basis0, jnp.int32)
         in_basis = jax.vmap(
             lambda b: jnp.zeros(NT, bool).at[b].set(True))(basis)
-        Bmat = jax.vmap(_build_basis_matrix, in_axes=(None, 0))(A, basis)
+        Bmat = _batched_basis_matrices(A, basis)
         lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
-        W = jax.vmap(lambda f, p: linalg.lu_solve((f, p), E))(lu, piv)
+        if A.ndim == 3:
+            W = jax.vmap(lambda f, p, e: linalg.lu_solve((f, p), e))(
+                lu, piv, E)
+        else:
+            W = jax.vmap(lambda f, p: linalg.lu_solve((f, p), E))(lu, piv)
     else:
         basis0 = jnp.asarray(basis0, jnp.int32)
         basis = jnp.broadcast_to(basis0[None, :], (B, M))
@@ -211,7 +240,7 @@ def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
 def _step(A, c, lb, ub, st: _State) -> _State:
     TOL_BND, TOL_DJ, TOL_PIV = _tols(c.dtype)
     B, NT = c.shape
-    M, N = A.shape
+    M, N = A.shape[-2:]
     batch = jnp.arange(B)
     running = st.status == RUNNING
 
@@ -365,10 +394,10 @@ def _final_solutions(A, c, lb, ub, st: _State):
     final basis once (batched LU) so results do not inherit rank-1
     drift from the pivot loop."""
     B, NT = c.shape
-    M, N = A.shape
+    M, N = A.shape[-2:]
     batch = jnp.arange(B)
 
-    Bmat = jax.vmap(_build_basis_matrix, in_axes=(None, 0))(A, st.basis)
+    Bmat = _batched_basis_matrices(A, st.basis)
     zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
     rhs = -_e_matmul(A, zn)                                        # (B, M)
     # custom batched LU: XLA's LuDecomposition custom-call is f32-only on
@@ -549,7 +578,8 @@ def _auto_chunk(M: int, N: int, itemsize: int) -> int:
 
 def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 max_iter: int | None = None, dtype=np.float64,
-                start_basis=None, max_chunk: int | None = None) -> LPResult:
+                start_basis=None, max_chunk: int | None = None,
+                sharding=None) -> LPResult:
     """Solve a batch of LPs sharing constraint matrix ``A`` (M, N).
 
     ``c``: (B, N) objective on structural variables.
@@ -564,6 +594,11 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
     chunks, so arbitrarily large frontiers reuse ONE compiled shape and
     the tableau memory stays bounded.
     """
+    if not isinstance(A, _PreparedA) and np.asarray(A).ndim == 3:
+        return _solve_batch_3d(np.asarray(A), c, row_lb, row_ub, col_lb,
+                               col_ub, max_iter=max_iter, dtype=dtype,
+                               start_basis=start_basis,
+                               max_chunk=max_chunk, sharding=sharding)
     prep = _prepare_A(A, dtype)
     if max_chunk is None:
         chunk = _auto_chunk(prep.M, prep.N, np.dtype(dtype).itemsize)
@@ -604,3 +639,79 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],
                     row_dual[:B, :M], col_dual[:B, :N], iters[:B],
                     basis[:B], at_upper[:B])
+
+
+def _solve_batch_3d(A, c, row_lb, row_ub, col_lb, col_ub, *,
+                    max_iter=None, dtype=np.float64, start_basis=None,
+                    max_chunk=None, sharding=None) -> LPResult:
+    """solve_batch for per-instance constraint matrices A (B, M, N) —
+    the instance-level-DP form (scenario batches, BASELINE.json config
+    #5): every LP in the batch is a DIFFERENT problem, pivoted in
+    lockstep on device.  Padding and chunking mirror the shared-A path;
+    padding instances replicate instance 0."""
+    A = np.asarray(A, dtype)
+    B0, M, N = A.shape
+    c2 = np.atleast_2d(np.asarray(c))
+    if c2.shape[0] != B0:
+        raise ValueError(f"A batch {B0} != objective batch {c2.shape[0]}")
+    if max_chunk is None:
+        per = (M + 8) * (M + N + 16) * np.dtype(dtype).itemsize * 2
+        cap = max(1, TABLEAU_BYTES_BUDGET // per)
+        max_chunk = min(MAX_CHUNK, 1 << (cap.bit_length() - 1))
+    if B0 > max_chunk:
+        parts = []
+        for s in range(0, B0, max_chunk):
+            sl = slice(s, s + max_chunk)
+            parts.append(_solve_batch_3d(
+                A[sl], c2[sl], np.asarray(row_lb)[sl],
+                np.asarray(row_ub)[sl], np.asarray(col_lb)[sl],
+                np.asarray(col_ub)[sl], max_iter=max_iter, dtype=dtype,
+                start_basis=_slice_warm(start_basis, sl),
+                max_chunk=max_chunk, sharding=sharding))
+        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
+                          for f in dataclasses.fields(LPResult)))
+
+    Mp, Np = _bucket(M), _bucket(N)
+    Bp = _bucket_batch(B0, Mp)
+    if max_iter is None:
+        max_iter = 50 * (Mp + Np) + 500
+    A_p = np.zeros((Bp, Mp, Np), dtype)
+    A_p[:B0, :M, :N] = A
+    if Bp > B0:
+        A_p[B0:, :M, :N] = A[0]
+
+    def _pad(arr, k, kp, fill):
+        arr = np.asarray(arr, dtype)
+        out = np.full((Bp, kp), fill, dtype)
+        out[:B0, :k] = arr
+        if Bp > B0:
+            out[B0:, :k] = arr[:1]
+        return out
+
+    full_c = np.concatenate(
+        [np.zeros((Bp, Mp), dtype), _pad(c2, N, Np, 0.0)], axis=1)
+    lb = np.concatenate(
+        [_pad(row_lb, M, Mp, -np.inf), _pad(col_lb, N, Np, 0.0)], axis=1)
+    ub = np.concatenate(
+        [_pad(row_ub, M, Mp, np.inf), _pad(col_ub, N, Np, 0.0)], axis=1)
+
+    def _put(x):
+        # lay the batch axis over the mesh's data axis: lockstep
+        # pivoting is embarrassingly parallel across instances, so SPMD
+        # partitioning needs no collectives at all
+        return (jax.device_put(x, sharding) if sharding is not None
+                else jnp.asarray(x))
+
+    if start_basis is None:
+        out = _solve_batch_jit(_put(A_p), _put(full_c),
+                               _put(lb), _put(ub), max_iter)
+    else:
+        b0, u0 = _pad_warm(start_basis, Mp, Mp + Np, B0, Bp)
+        out = _solve_batch_warm_jit(
+            _put(A_p), _put(full_c), _put(lb),
+            _put(ub), _put(b0), _put(u0), max_iter)
+    (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
+        np.asarray(o) for o in out)
+    return LPResult(status[:B0], obj[:B0], x[:B0, :N], s[:B0, :M],
+                    row_dual[:B0, :M], col_dual[:B0, :N], iters[:B0],
+                    basis[:B0], at_upper[:B0])
