@@ -113,7 +113,8 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     m = vlp.m
     t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
-                    lp_verbose=opt.lp_message_level)
+                    lp_verbose=opt.lp_message_level,
+                    lp_method=opt.lp_method_phase0)
 
     if opt.message_level >= 3:
         print("solve lp")   # bslv_algs.c:685
@@ -191,7 +192,8 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     approximation instead of re-seeding."""
     q = sol.q
     t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS,
-                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level)
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
+                    lp_method=opt.lp_method_phase1)
     p = sol.p
 
     if resume_pair is not None:
@@ -402,7 +404,8 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     pre = opt.solution
     t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS,
-                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level)
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
+                    lp_method=opt.lp_method_phase2)
     r = sol.r
 
     if resume_pair is not None:
@@ -482,7 +485,8 @@ def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     image; upper-image points arrive as dual vertices."""
     q = sol.q
     t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype,
-                    lp_verbose=opt.lp_message_level)
+                    lp_verbose=opt.lp_message_level,
+                    lp_method=opt.lp_method_phase1)
 
     if resume_pair is not None:
         pair = resume_pair
@@ -647,7 +651,8 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     pre = opt.solution
     t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS,
-                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level)
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
+                    lp_method=opt.lp_method_phase2)
 
     if resume_pair is not None:
         pair = resume_pair

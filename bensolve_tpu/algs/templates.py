@@ -38,11 +38,17 @@ INHOMOGENEOUS = False
 
 class _TemplateBase:
     def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
-                 dtype=np.float64, lp_verbose: int = 0):
+                 dtype=np.float64, lp_verbose: int = 0,
+                 lp_method: str = "auto"):
         self.dtype = np.dtype(dtype).type
         # -M / lp_message_level analogue (bslv_lp.c:200-215): >= 2 emits
         # one summary line per batched solve on stdout
         self.lp_verbose = lp_verbose
+        # -k/-L/-l analogue (bslv_lp.c:153-217): "dual_simplex" /
+        # "dual_primal_simplex" route through the batched dual simplex
+        # (with the GLP_DUALP-style primal retry); "primal_simplex" and
+        # "auto" use the aspect-ratio router
+        self.lp_method = getattr(lp_method, "value", lp_method)
         self.vlp = vlp
         self.m, self.n, self.q = vlp.m, vlp.n, vlp.q
         self.P_eff = P_eff
@@ -58,8 +64,16 @@ class _TemplateBase:
     def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub,
              start_basis=None) -> LPResult:
         warm = start_basis if start_basis is not None else self._warm
-        res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb, col_ub,
-                               start_basis=warm, dtype=self.dtype)
+        if self.lp_method in ("dual_simplex", "dual_primal_simplex"):
+            from bensolve_tpu.lp.dual_simplex import solve_batch_dual
+
+            res = solve_batch_dual(A_lp, obj, row_lb, row_ub, col_lb,
+                                   col_ub, start_basis=warm,
+                                   dtype=self.dtype)
+        else:
+            res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb,
+                                   col_ub, start_basis=warm,
+                                   dtype=self.dtype)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round
@@ -98,8 +112,10 @@ class _TemplateBase:
 
 class P2Template(_TemplateBase):
     def __init__(self, vlp, P_eff, ZR: np.ndarray, eta: np.ndarray,
-                 homogeneous: bool, dtype=np.float64, lp_verbose: int = 0):
-        super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose)
+                 homogeneous: bool, dtype=np.float64, lp_verbose: int = 0,
+                 lp_method: str = "auto"):
+        super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
+                         lp_method)
         m, n, q = self.m, self.n, self.q
         ZR = np.asarray(ZR, float)
         self.p = ZR.shape[1]
@@ -177,8 +193,10 @@ class P2Template(_TemplateBase):
 
 class P1Template(_TemplateBase):
     def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool,
-                 dtype=np.float64, lp_verbose: int = 0):
-        super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose)
+                 dtype=np.float64, lp_verbose: int = 0,
+                 lp_method: str = "auto"):
+        super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
+                         lp_method)
         m, n, q = self.m, self.n, self.q
         A_lp = self._alloc_lp_matrix(1, 0)       # (m+q+1, n+q)
         A_lp[m + q, n:n + q] = np.asarray(eta, float)

@@ -142,6 +142,13 @@ def _rstep(A, c, lb, ub, st: _RState) -> _RState:
     y = jnp.einsum("bm,bmk->bk", cB_eff, st.Binv)                  # (B, M)
     d = jnp.where(feasible[:, None], c, 0.0) - sx._e_rmatmul(A, y)
 
+    # non-finite guard: an overflowed/NaN-poisoned instance must not be
+    # classified (NaN comparisons read as "feasible & no entering" ->
+    # bogus OPTIMAL).  It stays RUNNING and the periodic refactorization
+    # repairs Binv/xb from the (always valid) basis indices.
+    finite = jnp.all(jnp.isfinite(st.xb), axis=1) & \
+        jnp.all(jnp.isfinite(y), axis=1)
+
     val = _nb_value(lb, ub, st.at_upper)
     can_inc = (~st.in_basis) & (val < ub)
     can_dec = (~st.in_basis) & (val > lb)
@@ -157,8 +164,9 @@ def _rstep(A, c, lb, ub, st: _RState) -> _RState:
     has_entering = jnp.any(eligible, axis=1)
 
     finish_status = jnp.where(feasible, OPTIMAL, INFEASIBLE)
-    new_status = jnp.where(running & ~has_entering, finish_status, st.status)
-    act = running & has_entering
+    new_status = jnp.where(running & ~has_entering & finite,
+                           finish_status, st.status)
+    act = running & has_entering & finite
 
     sigma = jnp.where(
         jnp.take_along_axis(elig_inc, q_idx[:, None], axis=1)[:, 0], 1.0, -1.0
@@ -269,6 +277,17 @@ REFACTOR_EVERY_F32 = 64
 REFACTOR_EVERY_F64 = 200
 
 
+def _refactor_interval(M: int, NT: int, dtype) -> int:
+    """Refactorization cadence.  A full LU + explicit inverse costs
+    ~M^2/NT pivots' worth of work, so the dtype cadence is stretched on
+    huge bases (ex09: M~5k) to cap refactor overhead at ~25% of pivot
+    work — drift repair stays, but does not dominate the solve."""
+    base = (REFACTOR_EVERY_F32
+            if jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            else REFACTOR_EVERY_F64)
+    return max(base, 4 * M * M // max(NT, 1))
+
+
 def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     """Recompute Binv and xb from a fresh batched LU of the current
     basis, discarding accumulated product-form error."""
@@ -295,15 +314,20 @@ def _solve_revised_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
 
 def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
     st = _initial_rstate(A, c, lb, ub, basis0, at_upper0)
-    every = (REFACTOR_EVERY_F32
-             if c.dtype == jnp.dtype(jnp.float32) else REFACTOR_EVERY_F64)
+    every = _refactor_interval(A.shape[0], c.shape[1], c.dtype)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
 
     def body(s):
         s = _rstep(A, c, lb, ub, st=s)
-        return jax.lax.cond(s.step % every == 0,
+        # repair non-finite state early (overflowed rank-1 updates); the
+        # %16 gate stops a singular-basis livelock from refactorizing
+        # every single step until max_iter
+        bad = jnp.any((s.status == RUNNING)
+                      & ~jnp.all(jnp.isfinite(s.xb), axis=1))
+        return jax.lax.cond((s.step % every == 0)
+                            | (bad & (s.step % 16 == 0)),
                             lambda t: _refactor(A, c, lb, ub, t),
                             lambda t: t, s)
 
@@ -325,12 +349,69 @@ def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
 REVISED_RATIO = 4
 
 
+@dataclasses.dataclass
+class _ScaledA:
+    """Equilibrated matrix (the glp_scale_prob role): A' = R A C with
+    power-of-two scales, so scaling is EXACT in floating point.  Badly
+    scaled instances (ex09 spans ~150x, radiotherapy/financial data
+    generally worse) are what break float32 pivoting."""
+
+    A: object           # original (cache identity)
+    prep: sx._PreparedA
+    rscale: np.ndarray  # (M,)
+    cscale: np.ndarray  # (N,)
+
+
+_S_CACHE: "dict" = {}
+
+
+def _pow2(x: np.ndarray) -> np.ndarray:
+    return np.exp2(np.round(np.log2(np.maximum(x, 1e-30))))
+
+
+def _prepare_scaled(A, dtype) -> _ScaledA:
+    if isinstance(A, _ScaledA):
+        return A
+    key = (id(A), np.dtype(dtype).str)
+    hit = _S_CACHE.get(key)
+    if hit is not None and hit.A is A:
+        return hit
+    arr = np.asarray(A, np.float64)
+    absA = np.abs(arr)
+    r = _pow2(1.0 / np.maximum(absA.max(axis=1), 1e-12))
+    cvec = _pow2(1.0 / np.maximum((absA * r[:, None]).max(axis=0), 1e-12))
+    As = arr * r[:, None] * cvec[None, :]
+    prep = sx._prepare_A(np.asarray(As, dtype), dtype)
+    scaled = _ScaledA(A if isinstance(A, np.ndarray) else arr, prep,
+                      r, cvec)
+    if len(_S_CACHE) > 8:
+        _S_CACHE.clear()
+    _S_CACHE[key] = scaled
+    return scaled
+
+
 def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                         max_iter: int | None = None, dtype=np.float64,
-                        start_basis=None,
-                        max_chunk: int | None = None) -> LPResult:
+                        start_basis=None, max_chunk: int | None = None,
+                        scale: bool = True) -> LPResult:
     """Drop-in alternative to simplex.solve_batch for N >> M (same
-    padding, chunking, and warm-start contract)."""
+    padding, chunking, and warm-start contract).  ``scale`` runs the
+    solve on the equilibrated problem (exact power-of-two scales) and
+    returns unscaled solutions; basis indices and bound patterns are
+    scale-invariant, so warm starts pass straight through."""
+    if scale and not isinstance(A, (sx._PreparedA, _ScaledA)):
+        sc = _prepare_scaled(A, dtype)
+        r, cv = sc.rscale, sc.cscale
+        res = solve_batch_revised(
+            sc.prep, np.atleast_2d(np.asarray(c)) * cv[None, :],
+            np.asarray(row_lb) * r[None, :], np.asarray(row_ub) * r[None, :],
+            np.asarray(col_lb) / cv[None, :], np.asarray(col_ub) / cv[None, :],
+            max_iter=max_iter, dtype=dtype, start_basis=start_basis,
+            max_chunk=max_chunk, scale=False)
+        return LPResult(res.status, res.obj, res.x * cv[None, :],
+                        res.s / r[None, :], res.row_dual * r[None, :],
+                        res.col_dual / cv[None, :], res.iters,
+                        res.basis, res.at_upper)
     prep = sx._prepare_A(A, dtype)
     M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
     if max_chunk is None:
