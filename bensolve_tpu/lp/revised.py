@@ -60,12 +60,16 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _e_col(A, q):
-    """Column q of E = [I | -A] for a batch of indices q (B,) -> (B, M)."""
+def _e_col(A, AT, q):
+    """Column q of E = [I | -A] for a batch of indices q (B,) -> (B, M).
+
+    Gathers ROWS of the precomputed A^T: a per-step column gather of
+    the row-major A would strided-load M elements at stride N (or be
+    one-hot-dot expanded); A^T rows are contiguous."""
     M, N = A.shape
     is_aux = q < M
     aux_col = jax.nn.one_hot(q, M, dtype=A.dtype)                 # (B, M)
-    a_col = -A[:, jnp.clip(q - M, 0, N - 1)].T                    # (B, M)
+    a_col = -jnp.take(AT, jnp.clip(q - M, 0, N - 1), axis=0)      # (B, M)
     return jnp.where(is_aux[:, None], aux_col, a_col)
 
 
@@ -85,7 +89,7 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
         basis = jnp.asarray(basis0, jnp.int32)
         in_basis = jax.vmap(
             lambda b: jnp.zeros(NT, bool).at[b].set(True))(basis)
-        Bmat = jax.vmap(sx._build_basis_matrix, in_axes=(None, 0))(A, basis)
+        Bmat = sx._batched_basis_matrices(A, basis)
         lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
         eye = jnp.eye(M, dtype=dtype)
         Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
@@ -123,7 +127,7 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
                    status, zeros, zeros, jnp.int32(0))
 
 
-def _rstep(A, c, lb, ub, st: _RState) -> _RState:
+def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     TOL_BND, TOL_DJ, TOL_PIV = _tols(c.dtype)
     B, NT = c.shape
     M, N = A.shape
@@ -173,7 +177,7 @@ def _rstep(A, c, lb, ub, st: _RState) -> _RState:
     ).astype(c.dtype)
 
     # pivot column alpha = Binv @ E_q (gathered shared-A column)
-    e_q = _e_col(A, q_idx)                                         # (B, M)
+    e_q = _e_col(A, AT, q_idx)                                         # (B, M)
     alpha = jnp.einsum("bmk,bk->bm", st.Binv, e_q)
     rate = -sigma[:, None] * alpha
 
@@ -293,7 +297,7 @@ def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     basis, discarding accumulated product-form error."""
     M = A.shape[0]
     dtype = c.dtype
-    Bmat = jax.vmap(sx._build_basis_matrix, in_axes=(None, 0))(A, st.basis)
+    Bmat = sx._batched_basis_matrices(A, st.basis)
     lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
     eye = jnp.eye(M, dtype=dtype)
     Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
@@ -315,12 +319,13 @@ def _solve_revised_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
 def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
     st = _initial_rstate(A, c, lb, ub, basis0, at_upper0)
     every = _refactor_interval(A.shape[0], c.shape[1], c.dtype)
+    AT = A.T  # materialized ONCE outside the while loop (see _e_col)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
 
     def body(s):
-        s = _rstep(A, c, lb, ub, st=s)
+        s = _rstep(A, AT, c, lb, ub, st=s)
         # repair non-finite state early (overflowed rank-1 updates); the
         # %16 gate stops a singular-basis livelock from refactorizing
         # every single step until max_iter

@@ -115,19 +115,31 @@ def _e_rmatmul(A, y):
     return jnp.concatenate([y, -(y @ A)], axis=-1)
 
 
-def _build_basis_matrix(A, basis):
-    """B matrix (M, M) whose columns are E[:, basis[k]] (A is (M, N))."""
+def _build_basis_matrix(A, basis, AT=None):
+    """B matrix (M, M) whose columns are E[:, basis[k]] (A is (M, N)).
+
+    Structural columns are gathered as ROWS of A^T: a column gather of
+    the row-major A is along the minor (lane) dimension, which the TPU
+    gather expander rewrites into a one-hot dot_general whose one-hot
+    operand is (M, N) floats — ~6 GB of HLO temp at ex09 scale
+    (m=4608, n=36939) and an instant compile-time HBM OOM.  A row
+    gather of A^T is a native contiguous gather; the final transpose of
+    the (M, M) result is cheap."""
     M, N = A.shape
+    if AT is None:
+        AT = A.T
     is_aux = basis < M
-    eye_cols = jax.nn.one_hot(basis, M, dtype=A.dtype).T          # (M, M)
-    a_cols = -A[:, jnp.clip(basis - M, 0, N - 1)]                  # (M, M)
-    return jnp.where(is_aux[None, :], eye_cols, a_cols)
+    eye_rows = jax.nn.one_hot(basis, M, dtype=A.dtype)             # (M, M)
+    a_rows = -jnp.take(AT, jnp.clip(basis - M, 0, N - 1), axis=0)  # (M, M)
+    return jnp.where(is_aux[:, None], eye_rows, a_rows).T
 
 
 def _batched_basis_matrices(A, bases):
     """(B, M, M) basis matrices for (B, M) bases; shared or 3-D A."""
-    return jax.vmap(_build_basis_matrix,
-                    in_axes=(0 if A.ndim == 3 else None, 0))(A, bases)
+    if A.ndim == 3:
+        return jax.vmap(_build_basis_matrix)(A, bases)
+    AT = A.T  # transpose once; shared across the vmapped gather
+    return jax.vmap(lambda b: _build_basis_matrix(A, b, AT))(bases)
 
 
 @dataclasses.dataclass

@@ -24,12 +24,20 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed bring-up (no-op when already initialized or
-    single-process)."""
-    if jax.process_count() > 1:
+    single-process).
+
+    Must not touch the XLA backend before ``jax.distributed.initialize``
+    runs (``jax.process_count()`` would initialize it), so the
+    already-initialized check reads the distributed client state
+    directly."""
+    if coordinator_address is None:
         return
-    if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address, num_processes,
-                                   process_id)
+    from jax._src.distributed import global_state
+
+    if global_state.client is not None:
+        return
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
 
 
 def shard_indices(n: int, *, process_id: int | None = None,

