@@ -283,8 +283,11 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                        start_basis=warm.lookup(P, solve_idx))
         stats.lps += cand.size
         stats.pivots += int(res.iters.sum())
-        _check_all_optimal(res,
-                           "phase1_primal loop" if phase1 else "phase2_primal loop")
+        what = "phase1_primal loop" if phase1 else "phase2_primal loop"
+        if not distributed:
+            # distributed mode defers the check until after the gather:
+            # a local raise would strand the peers in the collective
+            _check_all_optimal(res, what)
         W = t2.duals_w(res)                    # (B_local, q)
 
         # per-candidate cut data rows
@@ -312,13 +315,23 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         if distributed:
             rows = np.concatenate(
                 [solve_idx[:, None].astype(float), passed[:, None],
-                 ystars, primgs, xs], axis=1)
+                 res.status[:, None].astype(float), ystars, primgs, xs],
+                axis=1)
             rows = dist.allgather_rows(rows, total=cand.size)
+            # every host sees every host's LP statuses, so a failure
+            # raises on ALL hosts together instead of deadlocking the
+            # peers in the next collective
+            bad = np.flatnonzero(rows[:, 2] != simplex.OPTIMAL)
+            if bad.size:
+                raise RuntimeError(
+                    f"{what}: LP for vertex {int(rows[bad[0], 0])} "
+                    f"returned status {int(rows[bad[0], 2])} "
+                    f"(expected optimal)")
             idx_all = rows[:, 0].astype(int)
             passed_all = rows[:, 1] > 0.5
-            ystars = rows[:, 2:2 + q]
-            primgs = rows[:, 2 + q:2 + q + primgs.shape[1]]
-            xs = rows[:, 2 + q + primgs.shape[1]:]
+            ystars = rows[:, 3:3 + q]
+            primgs = rows[:, 3 + q:3 + q + primgs.shape[1]]
+            xs = rows[:, 3 + q + primgs.shape[1]:]
             # finalized vertices first (order-free), then cuts in
             # canonical order
             order = np.concatenate([
@@ -588,16 +601,24 @@ def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
         if distributed:
             rows = np.concatenate(
                 [solve_idx[:, None].astype(float), passed[:, None],
-                 unbnd[:, None].astype(float), Y, xs, uws], axis=1)
+                 unbnd[:, None].astype(float),
+                 res.status[:, None].astype(float), Y, xs, uws], axis=1)
             rows = dist.allgather_rows(rows, total=cand.size)
             if allow_unbounded and (rows[:, 2] > 0.5).any():
                 return SolStatus.UNBOUNDED
-            _check_all_optimal(res, "dual Benson loop")
+            # gathered status check: a per-host LP failure must raise on
+            # every host, not strand the peers in the next collective
+            bad = np.flatnonzero(rows[:, 3] != simplex.OPTIMAL)
+            if bad.size:
+                raise RuntimeError(
+                    f"dual Benson loop: LP for vertex {int(rows[bad[0], 0])} "
+                    f"returned status {int(rows[bad[0], 3])} "
+                    f"(expected optimal)")
             idx_all = rows[:, 0].astype(int)
             passed_all = rows[:, 1] > 0.5
-            Y = rows[:, 3:3 + q]
-            xs = rows[:, 3 + q:3 + q + xs.shape[1]]
-            uws = rows[:, 3 + q + xs.shape[1]:]
+            Y = rows[:, 4:4 + q]
+            xs = rows[:, 4 + q:4 + q + xs.shape[1]]
+            uws = rows[:, 4 + q + xs.shape[1]:]
             order = np.concatenate([
                 np.flatnonzero(~passed_all),
                 np.flatnonzero(passed_all)[

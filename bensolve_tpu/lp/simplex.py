@@ -525,16 +525,22 @@ def _pad_batch_inputs(prep: _PreparedA, c, row_lb, row_ub, col_lb, col_ub,
                       Bp, dtype):
     """(B, *) objective/bounds -> padded (Bp, Mp+Np) jit inputs.  Padding
     instances replicate row 0 (real, terminating data); padding columns
-    are fixed at zero so they never enter the basis usefully."""
+    are fixed at zero so they never enter the basis usefully.  An EMPTY
+    batch (B == 0 — e.g. a distributed host whose frontier shard is
+    empty) keeps the pure-fill padding rows, which form a trivially
+    optimal LP (free rows, columns fixed at zero), so the host still
+    reaches the round's collectives."""
     M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
     c = np.atleast_2d(np.asarray(c, dtype))
+    if c.size == 0:
+        c = c.reshape(0, N)
     B = c.shape[0]
 
     def _pad(arr, k, kp, fill):
-        arr = np.asarray(arr, dtype)
+        arr = np.asarray(arr, dtype).reshape(-1, k)
         out = np.full((Bp, kp), fill, dtype)
         out[:B, :k] = arr
-        if Bp > B:
+        if Bp > B > 0:
             out[B:, :k] = arr[:1]
         return out
 
@@ -692,14 +698,14 @@ def _solve_batch_3d(A, c, row_lb, row_ub, col_lb, col_ub, *,
         max_iter = 50 * (Mp + Np) + 500
     A_p = np.zeros((Bp, Mp, Np), dtype)
     A_p[:B0, :M, :N] = A
-    if Bp > B0:
+    if Bp > B0 > 0:
         A_p[B0:, :M, :N] = A[0]
 
     def _pad(arr, k, kp, fill):
-        arr = np.asarray(arr, dtype)
+        arr = np.asarray(arr, dtype).reshape(-1, k)
         out = np.full((Bp, kp), fill, dtype)
         out[:B0, :k] = arr
-        if Bp > B0:
+        if Bp > B0 > 0:
             out[B0:, :k] = arr[:1]
         return out
 

@@ -20,9 +20,11 @@ class Format(enum.Enum):
 
 class LPMethod(enum.Enum):
     """LP method selection flags (-k/-L/-l).  The reference maps these onto
-    GLPK's primal/dual simplex (bslv_lp.c:153-198).  The TPU build keeps the
-    flags for CLI compatibility; the batched solver currently implements the
-    (composite phase-1) primal simplex and treats the rest as hints."""
+    GLPK's primal/dual simplex (bslv_lp.c:153-198).  Routing (see
+    algs/templates.py _run): DUAL_SIMPLEX / DUAL_PRIMAL_SIMPLEX select the
+    batched dual simplex (with the GLP_DUALP-style dual->primal retry,
+    lp/dual_simplex.py); PRIMAL_SIMPLEX and AUTO use the aspect-ratio
+    router over the tableau / revised / Pallas primal backends."""
 
     PRIMAL_SIMPLEX = "primal_simplex"
     DUAL_SIMPLEX = "dual_simplex"

@@ -45,13 +45,16 @@ def main() -> None:
             if idx.size else np.zeros((0, 3))
         out = dist.allgather_rows(local, total=total)
         np.save(f"{outdir}/allgather_{pid}.npy", out)
-    elif mode == "solve":
+    elif mode in ("solve", "solve_dual"):
         from bensolve_tpu.algs.driver import solve
-        from bensolve_tpu.vlp.options import Options
+        from bensolve_tpu.vlp.options import Alg, Options
         from bensolve_tpu.vlp.reader import read_vlp
 
         vlp = read_vlp("/root/reference/ex/ex05.vlp")
-        r = solve(vlp, Options(distributed=True, write_files=False))
+        opt = Options(distributed=True, write_files=False)
+        if mode == "solve_dual":
+            opt.alg_phase1 = opt.alg_phase2 = Alg.DUAL
+        r = solve(vlp, opt)
         np.save(f"{outdir}/pts_{pid}.npy", r.primal_points)
         np.save(f"{outdir}/dpts_{pid}.npy", r.dual_points)
         with open(f"{outdir}/stats_{pid}.json", "w") as f:
