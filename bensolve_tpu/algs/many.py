@@ -153,7 +153,9 @@ def _run_lockstep(group, opt, sharding) -> None:
             if res.status[j] != sx.OPTIMAL:
                 inst.done = (SolStatus.INFEASIBLE
                              if res.status[j] == sx.INFEASIBLE
-                             else SolStatus.UNBOUNDED)
+                             else SolStatus.UNBOUNDED
+                             if res.status[j] == sx.UNBOUNDED
+                             else SolStatus.ERROR)
                 break
             val = inst.sol.R[:, j].copy()
             val[q - 1] = res.obj[j]
@@ -189,8 +191,17 @@ def _run_lockstep(group, opt, sharding) -> None:
             inst.stats.rounds += 1
             inst.stats.lps += cand.size
             inst.stats.pivots += int(res.iters.sum())
-            if (res.status != sx.OPTIMAL).any():
-                inst.done = SolStatus.UNBOUNDED
+            bad = np.flatnonzero(res.status != sx.OPTIMAL)
+            if bad.size:
+                # report the actual failure, not a blanket "unbounded":
+                # INFEASIBLE/UNBOUNDED map to their solution statuses, an
+                # iteration-limited or numerically lost LP is an ERROR
+                # (the reference asserts LP optimality here,
+                # bslv_algs.c:1044)
+                s = res.status[bad[0]]
+                inst.done = (SolStatus.INFEASIBLE if s == sx.INFEASIBLE
+                             else SolStatus.UNBOUNDED if s == sx.UNBOUNDED
+                             else SolStatus.ERROR)
                 continue
             q = inst.vlp.q
             W = inst.t2.duals_w(res)

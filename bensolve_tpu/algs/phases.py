@@ -113,7 +113,7 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     m = vlp.m
     t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
-                    lp_verbose=opt.lp_message_level,
+                    dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
                     lp_method=opt.lp_method_phase0)
 
     if opt.message_level >= 3:
@@ -463,7 +463,8 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     # pre-images for the directions of the upper image: re-template
     # P2-homogeneous with the eta row disabled (bslv_algs.c:1084-1114)
     if pre:
-        _direction_preimages(sol, vlp, P_eff, pair.primal, stats)
+        _direction_preimages(sol, vlp, P_eff, pair.primal, stats,
+                             dtype=opt.lp_dtype)
         # directions of the lower image get zero pre-images
         # (bslv_algs.c:1117-1123)
         D = pair.dual
@@ -474,10 +475,11 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
 
 
 def _direction_preimages(sol: SolutionContext, vlp: VLPProblem,
-                         P_eff: np.ndarray, poly, stats: Stats) -> None:
+                         P_eff: np.ndarray, poly, stats: Stats,
+                         dtype="float64") -> None:
     """Solve P2-hom (eta row freed) for every ideal vertex of the upper
     image and store x as its pre-image."""
-    t2h = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS)
+    t2h = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS, dtype=dtype)
     idxs = [int(i) for i in poly.live() if poly.ideal[i]]
     if not idxs:
         return
@@ -716,7 +718,8 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
         # directions (bslv_algs.c:1514-1543; note the reference's Z
         # stride bug at :1535 — Z is indexed with stride r instead of p;
         # we index Z correctly)
-        _direction_preimages(sol, vlp, P_eff, pair.dual, stats)
+        _direction_preimages(sol, vlp, P_eff, pair.dual, stats,
+                             dtype=opt.lp_dtype)
         for i in pair.primal.live():
             if pair.primal.ideal[i]:
                 pair.primal.primg[i, : pair.primal.dim_primg] = 0.0

@@ -24,6 +24,9 @@ class SolStatus(enum.Enum):
     NOVERTEX = "no vertex"
     OPTIMAL = "optimal"
     INPUTERROR = "input error"
+    ERROR = "error"   # numeric/iteration-limit LP failure (TPU-build
+    #   extension: the reference asserts and aborts on unexpected LP
+    #   statuses, bslv_algs.c:879; batch engines report instead)
 
 
 class CDir(enum.Enum):

@@ -184,10 +184,30 @@ def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
     dual feasible (or that hit the iteration cap, when ``retry_primal``)
     are re-solved with the primal solver from the same basis — the
     batched equivalent of GLPK's GLP_DUALP dual->primal fallback
-    (bslv_lp.c:190-192, 219-259)."""
+    (bslv_lp.c:190-192, 219-259).
+
+    Batches larger than ``max_chunk`` (default: the largest power-of-two
+    batch whose (B, M, M+N) tableau fits TABLEAU_BYTES_BUDGET, same rule
+    as the primal tableau path) are processed in fixed-size chunks, so a
+    large frontier under -l dual_simplex keeps bounded device memory and
+    reuses one compiled shape."""
     prep = sx._prepare_A(A, dtype)
     M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
+    if max_chunk is None:
+        max_chunk = sx._auto_chunk(M, N, np.dtype(dtype).itemsize)
     c2 = np.atleast_2d(np.asarray(c))
+    if c2.shape[0] > max_chunk:
+        parts = []
+        for s in range(0, c2.shape[0], max_chunk):
+            sl = slice(s, s + max_chunk)
+            parts.append(solve_batch_dual(
+                prep, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
+                np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
+                max_iter=max_iter, dtype=dtype,
+                start_basis=sx._slice_warm(start_basis, sl),
+                max_chunk=max_chunk, retry_primal=retry_primal))
+        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
+                          for f in dataclasses.fields(LPResult)))
     B = c2.shape[0]
     Bp = sx._bucket_batch(B, Mp)
     if max_iter is None:

@@ -42,6 +42,12 @@ class _RState:
     in_basis: jnp.ndarray   # (B, NT) bool
     at_upper: jnp.ndarray   # (B, NT) bool
     Binv: jnp.ndarray       # (B, M, M)
+    Brows: jnp.ndarray      # (B, M, M): row k = basis column E[:, basis[k]]
+    #   maintained incrementally (one row scatter per pivot) so the
+    #   refactorization and the endgame never GATHER basis columns out
+    #   of the huge A inside jit — the TPU gather expander rewrites that
+    #   into a one-hot dot_general with a (B, N, M) float temp (~6 GB at
+    #   ex09 scale, the round-2 OOM)
     xb: jnp.ndarray         # (B, M)
     lbB: jnp.ndarray        # (B, M)
     ubB: jnp.ndarray        # (B, M)
@@ -54,8 +60,8 @@ class _RState:
 
 jax.tree_util.register_dataclass(
     _RState,
-    data_fields=["basis", "in_basis", "at_upper", "Binv", "xb", "lbB", "ubB",
-                 "cB", "status", "stall", "iters", "step"],
+    data_fields=["basis", "in_basis", "at_upper", "Binv", "Brows", "xb",
+                 "lbB", "ubB", "cB", "status", "stall", "iters", "step"],
     meta_fields=[],
 )
 
@@ -73,7 +79,10 @@ def _e_col(A, AT, q):
     return jnp.where(is_aux[:, None], aux_col, a_col)
 
 
-def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
+def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None, Brows0=None):
+    """``Brows0``: host-built (1 or B, M, M) basis-column rows matching
+    ``basis0`` (see _host_brows) — basis matrices are never gathered out
+    of A inside jit."""
     B, NT = c.shape
     M, N = A.shape
     dtype = c.dtype
@@ -84,12 +93,14 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
         Binv = jnp.broadcast_to(
             jnp.eye(M, dtype=dtype)[None], (B, M, M)) + jnp.zeros(
             (B, 1, 1), dtype)
+        Brows = Binv   # identity basis: rows ARE unit vectors
     elif jnp.asarray(basis0).ndim == 2:
         # per-instance warm start: batched LU of each candidate's basis
         basis = jnp.asarray(basis0, jnp.int32)
         in_basis = jax.vmap(
             lambda b: jnp.zeros(NT, bool).at[b].set(True))(basis)
-        Bmat = sx._batched_basis_matrices(A, basis)
+        Brows = jnp.asarray(Brows0, dtype)
+        Bmat = jnp.swapaxes(Brows, 1, 2)
         lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
         eye = jnp.eye(M, dtype=dtype)
         Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
@@ -98,10 +109,12 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
         basis = jnp.broadcast_to(basis0[None, :], (B, M))
         in_basis1 = jnp.zeros(NT, bool).at[basis0].set(True)
         in_basis = jnp.broadcast_to(in_basis1[None, :], (B, NT))
-        Bmat = sx._build_basis_matrix(A, basis0)
-        lu, piv = linalg.lu_factor(Bmat)
+        Brows1 = jnp.asarray(Brows0, dtype)[0]          # (M, M)
+        lu, piv = linalg.lu_factor(Brows1.T)
         Binv0 = linalg.lu_solve((lu, piv), jnp.eye(M, dtype=dtype))
         Binv = jnp.broadcast_to(Binv0[None], (B, M, M)) + jnp.zeros(
+            (B, 1, 1), dtype)
+        Brows = jnp.broadcast_to(Brows1[None], (B, M, M)) + jnp.zeros(
             (B, 1, 1), dtype)
     if at_upper0 is None:
         at_upper = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis
@@ -123,7 +136,7 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None):
     cB = jnp.take_along_axis(c, basis, axis=1)
     crossed = jnp.any(lb > ub, axis=1)
     status = jnp.where(crossed, INFEASIBLE, zeros)
-    return _RState(basis, in_basis, at_upper, Binv, xb, lbB, ubB, cB,
+    return _RState(basis, in_basis, at_upper, Binv, Brows, xb, lbB, ubB, cB,
                    status, zeros, zeros, jnp.int32(0))
 
 
@@ -239,6 +252,15 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     basis_upd = st.basis.at[batch, r_idx].set(q_idx.astype(jnp.int32))
     basis_new = jnp.where(do_pivot[:, None], basis_upd, st.basis)
 
+    # basis-matrix rows follow the basis: slot r's column becomes E_q.
+    # The do_pivot mask folds into the scattered VALUE (keep the current
+    # row when not pivoting) so the scatter is unconditional and XLA
+    # updates Brows in place instead of copying the whole (B, M, M)
+    cur_row = jnp.take_along_axis(
+        st.Brows, r_idx[:, None, None], axis=1)[:, 0, :]
+    new_row = jnp.where(do_pivot[:, None], e_q, cur_row)
+    Brows_new = st.Brows.at[batch, r_idx].set(new_row)
+
     cB_q = jnp.take_along_axis(c, q_idx[:, None], axis=1)[:, 0]
     lbB_new = jnp.where(do_pivot[:, None],
                         st.lbB.at[batch, r_idx].set(lb_q), st.lbB)
@@ -267,8 +289,8 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     stall_new = jnp.where(act, jnp.where(degen, st.stall + 1, 0), st.stall)
     iters_new = st.iters + act.astype(jnp.int32)
 
-    return _RState(basis_new, in_basis_new, at_upper_new, Binv_new, xb_new,
-                   lbB_new, ubB_new, cB_new,
+    return _RState(basis_new, in_basis_new, at_upper_new, Binv_new,
+                   Brows_new, xb_new, lbB_new, ubB_new, cB_new,
                    new_status, stall_new, iters_new, st.step + 1)
 
 
@@ -284,20 +306,23 @@ REFACTOR_EVERY_F64 = 200
 def _refactor_interval(M: int, NT: int, dtype) -> int:
     """Refactorization cadence.  A full LU + explicit inverse costs
     ~M^2/NT pivots' worth of work, so the dtype cadence is stretched on
-    huge bases (ex09: M~5k) to cap refactor overhead at ~25% of pivot
-    work — drift repair stays, but does not dominate the solve."""
-    base = (REFACTOR_EVERY_F32
-            if jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-            else REFACTOR_EVERY_F64)
-    return max(base, 4 * M * M // max(NT, 1))
+    huge bases (ex09: M~5k) to cap refactor overhead — but never beyond
+    a hard cap: the rank-1 product form drifts with every update, and a
+    thousand-update gap leaves too little accuracy for the f32 pivot
+    tolerances to classify statuses."""
+    f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+    base = REFACTOR_EVERY_F32 if f32 else REFACTOR_EVERY_F64
+    cap = 256 if f32 else 1024
+    return max(base, min(4 * M * M // max(NT, 1), cap))
 
 
 def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     """Recompute Binv and xb from a fresh batched LU of the current
-    basis, discarding accumulated product-form error."""
+    basis (incrementally maintained in st.Brows — no gather from A),
+    discarding accumulated product-form error."""
     M = A.shape[0]
     dtype = c.dtype
-    Bmat = sx._batched_basis_matrices(A, st.basis)
+    Bmat = jnp.swapaxes(st.Brows, 1, 2)
     lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
     eye = jnp.eye(M, dtype=dtype)
     Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
@@ -307,19 +332,23 @@ def _refactor(A, c, lb, ub, st: _RState) -> _RState:
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_revised_jit(A, c, lb, ub, max_iter):
-    return _solve_revised_core(A, c, lb, ub, None, None, max_iter)
+def _solve_revised_jit(A, AT, c, lb, ub, max_iter):
+    return _solve_revised_core(A, AT, c, lb, ub, None, None, None, max_iter)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_revised_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
-    return _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter)
+def _solve_revised_warm_jit(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
+                            max_iter):
+    return _solve_revised_core(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
+                               max_iter)
 
 
-def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
-    st = _initial_rstate(A, c, lb, ub, basis0, at_upper0)
+def _solve_revised_core(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
+                        max_iter):
+    """``AT``: device-resident transpose of A (an in-jit A.T would
+    materialize a second full-size copy per compiled program)."""
+    st = _initial_rstate(A, c, lb, ub, basis0, at_upper0, Brows0)
     every = _refactor_interval(A.shape[0], c.shape[1], c.dtype)
-    AT = A.T  # materialized ONCE outside the while loop (see _e_col)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
@@ -343,10 +372,27 @@ def _solve_revised_core(A, c, lb, ub, basis0, at_upper0, max_iter):
                       at_upper=st.at_upper, W=None, xb=None, lbB=None,
                       ubB=None, cB=st.cB, status=status, stall=None,
                       iters=st.iters, step=None)
-    obj, x, s_act, row_dual, col_dual = sx._final_solutions(A, c, lb, ub,
-                                                            final)
+    obj, x, s_act, row_dual, col_dual = sx._final_solutions(
+        A, c, lb, ub, final, Bmat=jnp.swapaxes(st.Brows, 1, 2))
     return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
             st.at_upper)
+
+
+def _host_brows(prep: sx._PreparedA, b0: np.ndarray, dtype) -> np.ndarray:
+    """Basis-column rows for a warm start, built on HOST: out[b, k, :] =
+    E[:, b0[b, k]] with E = [I | -A_padded].  Row/column indices use the
+    padded numbering (rows 0..Mp-1, structurals Mp..Mp+Np-1)."""
+    Mp = prep.Mp
+    b2 = np.atleast_2d(np.asarray(b0))
+    B, M = b2.shape
+    out = np.zeros((B, Mp, Mp), dtype)
+    aux = b2 < Mp
+    bi, ki = np.nonzero(aux)
+    out[bi, ki, b2[aux]] = 1.0
+    bi, ki = np.nonzero(~aux)
+    if bi.size:
+        out[bi, ki, :] = -prep.host[:, b2[~aux] - Mp].T
+    return out
 
 
 # N/M ratio above which solve_batch should route here: the tableau
@@ -441,18 +487,24 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
     B = c2.shape[0]
     Bp = sx._bucket_batch(B, Mp)
     if max_iter is None:
-        max_iter = 50 * (Mp + Np) + 500
+        # the generic shape-derived cap, bounded for huge-N instances
+        # (ex09: 50*(Mp+Np) ~ 2.3M steps would run for days at ~ms/step;
+        # real solves of well-scaled problems take O(M) pivots)
+        max_iter = min(50 * (Mp + Np) + 500, 40 * Mp + 20000)
     full_c, lb, ub = sx._pad_batch_inputs(prep, c2, row_lb, row_ub,
                                           col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
-        out = _solve_revised_jit(prep.dev, jnp.asarray(full_c),
+        out = _solve_revised_jit(prep.dev, prep.transposed(),
+                                 jnp.asarray(full_c),
                                  jnp.asarray(lb), jnp.asarray(ub), max_iter)
     else:
         b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
+        brows0 = _host_brows(prep, b0, dtype)   # (1 or Bp, Mp, Mp)
         out = _solve_revised_warm_jit(
-            prep.dev, jnp.asarray(full_c), jnp.asarray(lb),
-            jnp.asarray(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter)
+            prep.dev, prep.transposed(), jnp.asarray(full_c),
+            jnp.asarray(lb), jnp.asarray(ub), jnp.asarray(b0),
+            jnp.asarray(u0), jnp.asarray(brows0), max_iter)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

@@ -404,15 +404,19 @@ def _step(A, c, lb, ub, st: _State) -> _State:
                   new_status, stall_new, iters_new, st.step + 1)
 
 
-def _final_solutions(A, c, lb, ub, st: _State):
+def _final_solutions(A, c, lb, ub, st: _State, Bmat=None):
     """Accurate primal/dual recovery at termination: refactorize the
     final basis once (batched LU) so results do not inherit rank-1
-    drift from the pivot loop."""
+    drift from the pivot loop.  ``Bmat``: precomputed (B, M, M) basis
+    matrices (the revised path maintains them incrementally — gathering
+    basis columns from a huge A inside jit one-hot-expands into
+    multi-GB temporaries on TPU)."""
     B, NT = c.shape
     M, N = A.shape[-2:]
     batch = jnp.arange(B)
 
-    Bmat = _batched_basis_matrices(A, st.basis)
+    if Bmat is None:
+        Bmat = _batched_basis_matrices(A, st.basis)
     zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
     rhs = -_e_matmul(A, zn)                                        # (B, M)
     # custom batched LU: XLA's LuDecomposition custom-call is f32-only on
@@ -482,6 +486,15 @@ class _PreparedA:
     Mp: int
     Np: int
     dev: jax.Array      # (Mp, Np) padded, on the default device
+    host: np.ndarray    # (Mp, Np) padded host copy (warm-basis builds)
+    devT: jax.Array | None = None  # (Np, Mp) transpose, device-resident
+    #   (the revised path needs BOTH layouts; an in-jit A.T materializes
+    #   an 800 MB copy per compiled program at ex09 scale)
+
+    def transposed(self) -> jax.Array:
+        if self.devT is None:
+            self.devT = jnp.asarray(np.ascontiguousarray(self.host.T))
+        return self.devT
 
 
 _A_CACHE: collections.OrderedDict = collections.OrderedDict()
@@ -505,7 +518,7 @@ def _prepare_A(A, dtype) -> _PreparedA:
     A_p = np.zeros((Mp, Np), dtype)
     A_p[:M, :N] = arr
     prep = _PreparedA(A if isinstance(A, np.ndarray) else arr,
-                      M, N, Mp, Np, jnp.asarray(A_p))
+                      M, N, Mp, Np, jnp.asarray(A_p), A_p)
     _A_CACHE[key] = prep
     while len(_A_CACHE) > _A_CACHE_MAX:
         _A_CACHE.popitem(last=False)
