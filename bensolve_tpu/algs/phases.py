@@ -114,7 +114,7 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     m = vlp.m
     t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase0)
+                    lp_method=opt.lp_method_phase0, mesh=opt.build_mesh())
 
     if opt.message_level >= 3:
         print("solve lp")   # bslv_algs.c:685
@@ -193,7 +193,7 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase1)
+                    lp_method=opt.lp_method_phase1, mesh=opt.build_mesh())
     p = sol.p
 
     if resume_pair is not None:
@@ -418,7 +418,7 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     pre = opt.solution
     t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase2)
+                    lp_method=opt.lp_method_phase2, mesh=opt.build_mesh())
     r = sol.r
 
     if resume_pair is not None:
@@ -464,7 +464,7 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     # P2-homogeneous with the eta row disabled (bslv_algs.c:1084-1114)
     if pre:
         _direction_preimages(sol, vlp, P_eff, pair.primal, stats,
-                             dtype=opt.lp_dtype)
+                             dtype=opt.lp_dtype, mesh=opt.build_mesh())
         # directions of the lower image get zero pre-images
         # (bslv_algs.c:1117-1123)
         D = pair.dual
@@ -476,10 +476,11 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
 
 def _direction_preimages(sol: SolutionContext, vlp: VLPProblem,
                          P_eff: np.ndarray, poly, stats: Stats,
-                         dtype="float64") -> None:
+                         dtype="float64", mesh=None) -> None:
     """Solve P2-hom (eta row freed) for every ideal vertex of the upper
     image and store x as its pre-image."""
-    t2h = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS, dtype=dtype)
+    t2h = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS, dtype=dtype,
+                     mesh=mesh)
     idxs = [int(i) for i in poly.live() if poly.ideal[i]]
     if not idxs:
         return
@@ -501,7 +502,7 @@ def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype,
                     lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase1)
+                    lp_method=opt.lp_method_phase1, mesh=opt.build_mesh())
 
     if resume_pair is not None:
         pair = resume_pair
@@ -675,7 +676,7 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     pre = opt.solution
     t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase2)
+                    lp_method=opt.lp_method_phase2, mesh=opt.build_mesh())
 
     if resume_pair is not None:
         pair = resume_pair
@@ -719,7 +720,7 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
         # stride bug at :1535 — Z is indexed with stride r instead of p;
         # we index Z correctly)
         _direction_preimages(sol, vlp, P_eff, pair.dual, stats,
-                             dtype=opt.lp_dtype)
+                             dtype=opt.lp_dtype, mesh=opt.build_mesh())
         for i in pair.primal.live():
             if pair.primal.ideal[i]:
                 pair.primal.primg[i, : pair.primal.dim_primg] = 0.0

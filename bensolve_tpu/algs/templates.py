@@ -39,8 +39,11 @@ INHOMOGENEOUS = False
 class _TemplateBase:
     def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
-                 lp_method: str = "auto"):
+                 lp_method: str = "auto", mesh=None):
         self.dtype = np.dtype(dtype).type
+        # multi-chip mesh for the LP solves (Options.mesh_axes): "dp"
+        # shards the candidate batch, "tp" the within-LP linear algebra
+        self.mesh = mesh
         # -M / lp_message_level analogue (bslv_lp.c:200-215): >= 2 emits
         # one summary line per batched solve on stdout
         self.lp_verbose = lp_verbose
@@ -73,7 +76,7 @@ class _TemplateBase:
         else:
             res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb,
                                    col_ub, start_basis=warm,
-                                   dtype=self.dtype)
+                                   dtype=self.dtype, mesh=self.mesh)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round
@@ -113,9 +116,9 @@ class _TemplateBase:
 class P2Template(_TemplateBase):
     def __init__(self, vlp, P_eff, ZR: np.ndarray, eta: np.ndarray,
                  homogeneous: bool, dtype=np.float64, lp_verbose: int = 0,
-                 lp_method: str = "auto"):
+                 lp_method: str = "auto", mesh=None):
         super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
-                         lp_method)
+                         lp_method, mesh)
         m, n, q = self.m, self.n, self.q
         ZR = np.asarray(ZR, float)
         self.p = ZR.shape[1]
@@ -194,9 +197,9 @@ class P2Template(_TemplateBase):
 class P1Template(_TemplateBase):
     def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
-                 lp_method: str = "auto"):
+                 lp_method: str = "auto", mesh=None):
         super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
-                         lp_method)
+                         lp_method, mesh)
         m, n, q = self.m, self.n, self.q
         A_lp = self._alloc_lp_matrix(1, 0)       # (m+q+1, n+q)
         A_lp[m + q, n:n + q] = np.asarray(eta, float)

@@ -12,6 +12,9 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
       (whole tableau resident in VMEM, grouped grid); anything it cannot
       take (f64, huge M+N, warm-start shapes it lacks) falls through;
     * otherwise: the XLA lockstep tableau solver.
+
+    ``mesh`` (Options.mesh_axes): multi-chip sharding — routes to the
+    revised/tableau SPMD paths (the single-core Pallas kernel is skipped).
     """
     import numpy as np
 
@@ -21,17 +24,20 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
         M, N = A.M, A.N
     else:
         M, N = np.asarray(A).shape
+    mesh = kw.get("mesh")
     if N >= revised.REVISED_RATIO * M:
         return revised.solve_batch_revised(A, c, row_lb, row_ub,
                                            col_lb, col_ub, **kw)
-    if _pallas_eligible(M, N, kw):
+    kw.pop("mesh", None)
+    if mesh is None and _pallas_eligible(M, N, kw):
         from bensolve_tpu.lp import pallas_simplex
 
         res = pallas_simplex.try_solve_batch(A, c, row_lb, row_ub,
                                              col_lb, col_ub, **kw)
         if res is not None:
             return res
-    return simplex.solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, **kw)
+    return simplex.solve_batch(A, c, row_lb, row_ub, col_lb, col_ub,
+                               mesh=mesh, **kw)
 
 
 def _pallas_eligible(M: int, N: int, kw) -> bool:

@@ -79,10 +79,14 @@ def _e_col(A, AT, q):
     return jnp.where(is_aux[:, None], aux_col, a_col)
 
 
-def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None, Brows0=None):
+def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None, Brows0=None,
+                    ssharding=None):
     """``Brows0``: host-built (1 or B, M, M) basis-column rows matching
     ``basis0`` (see _host_brows) — basis matrices are never gathered out
-    of A inside jit."""
+    of A inside jit.  ``ssharding``: NamedSharding for the (B, M, M)
+    state blocks (Binv/Brows) under multi-chip execution — constraining
+    the INITIAL state fixes the while-loop carry sharding, so the
+    per-instance panels stay distributed instead of replicating."""
     B, NT = c.shape
     M, N = A.shape
     dtype = c.dtype
@@ -136,6 +140,9 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None, Brows0=None):
     cB = jnp.take_along_axis(c, basis, axis=1)
     crossed = jnp.any(lb > ub, axis=1)
     status = jnp.where(crossed, INFEASIBLE, zeros)
+    if ssharding is not None:
+        Binv = jax.lax.with_sharding_constraint(Binv, ssharding)
+        Brows = jax.lax.with_sharding_constraint(Brows, ssharding)
     return _RState(basis, in_basis, at_upper, Binv, Brows, xb, lbB, ubB, cB,
                    status, zeros, zeros, jnp.int32(0))
 
@@ -331,27 +338,30 @@ def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     return dataclasses.replace(st, Binv=Binv, xb=xb)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_revised_jit(A, AT, c, lb, ub, max_iter):
-    return _solve_revised_core(A, AT, c, lb, ub, None, None, None, max_iter)
+@functools.partial(jax.jit, static_argnames=("ssharding",))
+def _revised_start_jit(A, c, lb, ub, ssharding=None):
+    return _initial_rstate(A, c, lb, ub, ssharding=ssharding)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_revised_warm_jit(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
-                            max_iter):
-    return _solve_revised_core(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
-                               max_iter)
+@functools.partial(jax.jit, static_argnames=("ssharding",))
+def _revised_start_warm_jit(A, c, lb, ub, basis0, at_upper0, Brows0,
+                            ssharding=None):
+    return _initial_rstate(A, c, lb, ub, basis0, at_upper0, Brows0,
+                           ssharding)
 
 
-def _solve_revised_core(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
-                        max_iter):
-    """``AT``: device-resident transpose of A (an in-jit A.T would
-    materialize a second full-size copy per compiled program)."""
-    st = _initial_rstate(A, c, lb, ub, basis0, at_upper0, Brows0)
+@functools.partial(jax.jit, static_argnames=("seg", "max_iter"))
+def _revised_run_jit(A, AT, c, lb, ub, st, seg, max_iter):
+    """Advance the pivot loop by at most ``seg`` steps.  Bounding the
+    per-program step count keeps each device program short: a single
+    multi-minute XLA execution trips remote-runtime watchdogs (observed:
+    the ex09 cold solve in one program crashes the TPU worker), and the
+    host sees progress (step/status) between segments for free."""
     every = _refactor_interval(A.shape[0], c.shape[1], c.dtype)
+    seg_end = jnp.minimum(st.step + seg, max_iter)
 
     def cond(s):
-        return jnp.any(s.status == RUNNING) & (s.step < max_iter)
+        return jnp.any(s.status == RUNNING) & (s.step < seg_end)
 
     def body(s):
         s = _rstep(A, AT, c, lb, ub, st=s)
@@ -365,9 +375,12 @@ def _solve_revised_core(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
                             lambda t: _refactor(A, c, lb, ub, t),
                             lambda t: t, s)
 
-    st = jax.lax.while_loop(cond, body, st)
-    status = jnp.where(st.status == RUNNING, ITLIM, st.status)
+    return jax.lax.while_loop(cond, body, st)
 
+
+@jax.jit
+def _revised_finish_jit(A, c, lb, ub, st):
+    status = jnp.where(st.status == RUNNING, ITLIM, st.status)
     final = sx._State(basis=st.basis, in_basis=st.in_basis,
                       at_upper=st.at_upper, W=None, xb=None, lbB=None,
                       ubB=None, cB=st.cB, status=status, stall=None,
@@ -376,6 +389,34 @@ def _solve_revised_core(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
         A, c, lb, ub, final, Bmat=jnp.swapaxes(st.Brows, 1, 2))
     return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
             st.at_upper)
+
+
+def _segment_steps(M: int, NT: int, B: int, itemsize: int) -> int:
+    """Steps per device program, sized so one segment stays ~10-30 s:
+    per-step traffic ~ 4 Binv passes + one A read."""
+    per_step = 4 * B * M * M * itemsize + 2 * M * (NT - M) * itemsize
+    return int(max(256, min(65536, 3e11 // max(per_step, 1))))
+
+
+def _solve_revised_segmented(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
+                             max_iter, ssharding=None):
+    """Host-side segment loop around the jitted pivot kernel.  State
+    stays on device between segments; only status/step (a few bytes) are
+    fetched to decide termination."""
+    if basis0 is None:
+        st = _revised_start_jit(A, c, lb, ub, ssharding=ssharding)
+    else:
+        st = _revised_start_warm_jit(A, c, lb, ub, basis0, at_upper0,
+                                     Brows0, ssharding=ssharding)
+    B, NT = c.shape
+    seg = _segment_steps(A.shape[0], NT, B, c.dtype.itemsize)
+    while True:
+        st = _revised_run_jit(A, AT, c, lb, ub, st, seg, max_iter)
+        status = np.asarray(st.status)
+        step = int(st.step)
+        if (status != RUNNING).all() or step >= max_iter:
+            break
+    return _revised_finish_jit(A, c, lb, ub, st)
 
 
 def _host_brows(prep: sx._PreparedA, b0: np.ndarray, dtype) -> np.ndarray:
@@ -441,15 +482,35 @@ def _prepare_scaled(A, dtype) -> _ScaledA:
     return scaled
 
 
+def _mesh_shardings(mesh):
+    """(A, AT, batch, state) NamedShardings for a ("dp"|"tp") mesh: "tp"
+    shards A's columns / AT's rows and the minor axis of the per-instance
+    Binv/Brows panels; "dp" shards the batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    names = mesh.axis_names
+    dp = "dp" if "dp" in names else None
+    tp = "tp" if "tp" in names else None
+    return (NamedSharding(mesh, P(None, tp)),
+            NamedSharding(mesh, P(tp, None)),
+            NamedSharding(mesh, P(dp, None)),
+            NamedSharding(mesh, P(dp, None, tp)))
+
+
 def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                         max_iter: int | None = None, dtype=np.float64,
                         start_basis=None, max_chunk: int | None = None,
-                        scale: bool = True) -> LPResult:
+                        scale: bool = True, mesh=None) -> LPResult:
     """Drop-in alternative to simplex.solve_batch for N >> M (same
     padding, chunking, and warm-start contract).  ``scale`` runs the
     solve on the equilibrated problem (exact power-of-two scales) and
     returns unscaled solutions; basis indices and bound patterns are
-    scale-invariant, so warm starts pass straight through."""
+    scale-invariant, so warm starts pass straight through.
+
+    ``mesh``: multi-chip execution (Options.mesh_axes): a "tp" axis
+    shards A / A^T and the (B, M, M) basis-inverse panels — the TP path
+    for ex09-scale single LPs (SURVEY.md section 2.2); a "dp" axis
+    shards the batch."""
     if scale and not isinstance(A, (sx._PreparedA, _ScaledA)):
         sc = _prepare_scaled(A, dtype)
         r, cv = sc.rscale, sc.cscale
@@ -458,7 +519,7 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
             np.asarray(row_lb) * r[None, :], np.asarray(row_ub) * r[None, :],
             np.asarray(col_lb) / cv[None, :], np.asarray(col_ub) / cv[None, :],
             max_iter=max_iter, dtype=dtype, start_basis=start_basis,
-            max_chunk=max_chunk, scale=False)
+            max_chunk=max_chunk, scale=False, mesh=mesh)
         return LPResult(res.status, res.obj, res.x * cv[None, :],
                         res.s / r[None, :], res.row_dual * r[None, :],
                         res.col_dual / cv[None, :], res.iters,
@@ -480,12 +541,28 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
                 max_iter=max_iter, dtype=dtype,
                 start_basis=sx._slice_warm(start_basis, sl),
-                max_chunk=max_chunk))
+                max_chunk=max_chunk, mesh=mesh))
         return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
                           for f in dataclasses.fields(LPResult)))
 
     B = c2.shape[0]
     Bp = sx._bucket_batch(B, Mp)
+    ssharding = None
+    A_dev, AT_dev = prep.dev, None
+    put = jnp.asarray
+    if mesh is not None:
+        import jax as _jax
+
+        shA, shAT, shB, ssharding = _mesh_shardings(mesh)
+        if "dp" in mesh.axis_names:
+            dp_size = mesh.shape["dp"]
+            while Bp % dp_size:
+                Bp *= 2
+        A_dev = _jax.device_put(prep.host, shA)
+        AT_dev = _jax.device_put(np.ascontiguousarray(prep.host.T), shAT)
+        put = functools.partial(_jax.device_put, device=shB)
+    if AT_dev is None:
+        AT_dev = prep.transposed()
     if max_iter is None:
         # the generic shape-derived cap, bounded for huge-N instances
         # (ex09: 50*(Mp+Np) ~ 2.3M steps would run for days at ~ms/step;
@@ -495,16 +572,16 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                                           col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
-        out = _solve_revised_jit(prep.dev, prep.transposed(),
-                                 jnp.asarray(full_c),
-                                 jnp.asarray(lb), jnp.asarray(ub), max_iter)
+        out = _solve_revised_segmented(
+            A_dev, AT_dev, put(full_c), put(lb), put(ub),
+            None, None, None, max_iter, ssharding)
     else:
         b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         brows0 = _host_brows(prep, b0, dtype)   # (1 or Bp, Mp, Mp)
-        out = _solve_revised_warm_jit(
-            prep.dev, prep.transposed(), jnp.asarray(full_c),
-            jnp.asarray(lb), jnp.asarray(ub), jnp.asarray(b0),
-            jnp.asarray(u0), jnp.asarray(brows0), max_iter)
+        out = _solve_revised_segmented(
+            A_dev, AT_dev, put(full_c), put(lb), put(ub),
+            jnp.asarray(b0), jnp.asarray(u0), jnp.asarray(brows0),
+            max_iter, ssharding)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

@@ -166,7 +166,8 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
+def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None,
+                   ssharding=None):
     """Initial tableau state.  With ``basis0`` (a shared (M,) basis, e.g.
     the optimal basis of a previous Benson round's LP) the whole batch
     warm-starts from one factorization: W0 = Binv @ E is identical
@@ -235,6 +236,10 @@ def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None):
         # a nonbasic with only an upper bound must rest there
         at_upper = at_upper | ((~jnp.isfinite(lb)) & jnp.isfinite(ub)
                                & ~in_basis)
+    if ssharding is not None:
+        # pin the (B, M, NT) tableau's sharding so the while-loop carry
+        # stays distributed over the mesh (dp on batch, tp on columns)
+        W = jax.lax.with_sharding_constraint(W, ssharding)
     zn = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
     # xb solves B xb = -E zn;  xb = -W @ zn
     xb = -jnp.einsum("bmn,bn->bm", W, zn)
@@ -434,18 +439,21 @@ def _final_solutions(A, c, lb, ub, st: _State, Bmat=None):
     return obj, z[:, M:], z[:, :M], row_dual, col_dual
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_batch_jit(A, c, lb, ub, max_iter):
-    return _solve_core(A, c, lb, ub, None, max_iter)
+@functools.partial(jax.jit, static_argnames=("max_iter", "ssharding"))
+def _solve_batch_jit(A, c, lb, ub, max_iter, ssharding=None):
+    return _solve_core(A, c, lb, ub, None, max_iter, ssharding=ssharding)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_batch_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
-    return _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0)
+@functools.partial(jax.jit, static_argnames=("max_iter", "ssharding"))
+def _solve_batch_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter,
+                          ssharding=None):
+    return _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0,
+                       ssharding=ssharding)
 
 
-def _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0=None):
-    st = _initial_state(A, c, lb, ub, basis0, at_upper0)
+def _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0=None,
+                ssharding=None):
+    st = _initial_state(A, c, lb, ub, basis0, at_upper0, ssharding)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
@@ -613,7 +621,7 @@ def _auto_chunk(M: int, N: int, itemsize: int) -> int:
 def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 max_iter: int | None = None, dtype=np.float64,
                 start_basis=None, max_chunk: int | None = None,
-                sharding=None) -> LPResult:
+                sharding=None, mesh=None) -> LPResult:
     """Solve a batch of LPs sharing constraint matrix ``A`` (M, N).
 
     ``c``: (B, N) objective on structural variables.
@@ -627,6 +635,9 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
     ``max_chunk``: batches larger than this are processed in fixed-size
     chunks, so arbitrarily large frontiers reuse ONE compiled shape and
     the tableau memory stays bounded.
+    ``mesh``: multi-chip execution (Options.mesh_axes): "dp" shards the
+    batch, "tp" the tableau columns, via committed input shardings plus
+    a sharding constraint on the loop-carried tableau.
     """
     if not isinstance(A, _PreparedA) and np.asarray(A).ndim == 3:
         return _solve_batch_3d(np.asarray(A), c, row_lb, row_ub, col_lb,
@@ -648,12 +659,25 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
                 max_iter=max_iter, dtype=dtype,
                 start_basis=_slice_warm(start_basis, sl),
-                max_chunk=chunk))
+                max_chunk=chunk, mesh=mesh))
         return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
                           for f in dataclasses.fields(LPResult)))
     M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
     B = c2.shape[0]
     Bp = _bucket_batch(B, Mp)
+    ssharding = None
+    A_dev = prep.dev
+    put = jnp.asarray
+    if mesh is not None:
+        from bensolve_tpu.lp.revised import _mesh_shardings
+
+        shA, _, shB, ssharding = _mesh_shardings(mesh)
+        if "dp" in mesh.axis_names:
+            dp_size = mesh.shape["dp"]
+            while Bp % dp_size:
+                Bp *= 2
+        A_dev = jax.device_put(prep.host, shA)
+        put = functools.partial(jax.device_put, device=shB)
     if max_iter is None:
         # derived from the PADDED dims so it is as bucketed as the shapes
         max_iter = 50 * (Mp + Np) + 500
@@ -661,13 +685,15 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
                                        col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
-        out = _solve_batch_jit(prep.dev, jnp.asarray(full_c),
-                               jnp.asarray(lb), jnp.asarray(ub), max_iter)
+        out = _solve_batch_jit(A_dev, put(full_c),
+                               put(lb), put(ub), max_iter,
+                               ssharding=ssharding)
     else:
         b0, u0 = _pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         out = _solve_batch_warm_jit(
-            prep.dev, jnp.asarray(full_c), jnp.asarray(lb),
-            jnp.asarray(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter)
+            A_dev, put(full_c), put(lb),
+            put(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter,
+            ssharding=ssharding)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

@@ -81,6 +81,24 @@ class Options:
     checkpoint_every: int = 1      # rounds between snapshots
     profile_dir: str = ""          # write a jax.profiler trace here
     distributed: bool = False      # shard LP rounds over jax processes
+    mesh_axes: tuple = ()          # multi-chip sharding of the LP solves
+    #   over the local device mesh: ("dp",) shards the frontier batch,
+    #   ("tp",) shards the within-LP linear algebra (A columns, pricing
+    #   row, basis-inverse panels — for ex09-scale single LPs),
+    #   ("dp", "tp") both.  Empty: single-device execution.
+    mesh_devices: int | None = None  # cap on devices used by mesh_axes
+
+    def build_mesh(self):
+        """The jax Mesh for mesh_axes (cached; None when unset)."""
+        if not self.mesh_axes:
+            return None
+        m = getattr(self, "_mesh_cache", None)
+        if m is None:
+            from bensolve_tpu.parallel.mesh import make_mesh
+
+            m = make_mesh(self.mesh_devices, tuple(self.mesh_axes))
+            object.__setattr__(self, "_mesh_cache", m)
+        return m
 
     def fmt_file(self) -> str:
         """Format string for files: long unless explicitly short
