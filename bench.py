@@ -1,13 +1,21 @@
-"""Benchmark: batched scalarization-LP throughput per chip.
+"""Benchmark: the three BASELINE.json metrics on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line whose primary metric is batched scalarization-LP
+throughput (LP/s/chip) with vs_baseline = ratio over a serial CPU HiGHS
+solver on identical instances (the stand-in for the reference's serial
+GLPK loop, bslv_algs.c:863-895 — GLPK itself cannot be built here).
+Secondary fields on the same line:
 
-The metric is scalarization LPs/s on one chip (the hot loop of the
-Benson algorithm, see BASELINE.json).  The baseline denominator is a
-serial CPU LP solver (scipy/HiGHS) on identical instances — the stand-in
-for the reference's serial GLPK loop (bslv_algs.c:863-895), which cannot
-be built here (no GLPK).  vs_baseline = our LPs/s / serial LPs/s.
+  p2_LPs_per_s / p2_vs_baseline — throughput on P2-TEMPLATE-SHAPED LPs
+      (the Benson oracle's actual shape: m VLP rows + q coupling rows +
+      p cut rows + eta row, equality coupling block, mixed bounds) built
+      from the BASELINE config-#4 synthetic VLP (q=5, 1k x 2k).
+  ex11_wall_s — wall-clock to epsilon-solve ex11.vlp (steady state,
+      compile excluded by a warmup solve).
+  benson_iters_per_s — Benson rounds/s during that ex11 solve.
+  warm_pivots_per_lp / cold_pivots_per_lp — shared-warm-start efficacy
+      on the Pallas path (the Benson re-solve pattern: same LP, changed
+      row bounds).
 """
 
 import json
@@ -34,17 +42,23 @@ def make_instances(M, N, B, seed=0, dtype=np.float32):
     return A, c, row_lb, b, col_lb, col_ub
 
 
-def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
-    """Fastest available device path: the Pallas per-LP kernel (no
-    lockstep tail, tableau in VMEM) on TPU, with the fused-update XLA
-    lockstep solver as the fallback for backends where Mosaic is
-    unavailable."""
+def _setup_jax_cache():
     import jax
 
     # persistent compile cache: the Mosaic kernel takes minutes to
     # compile through the remote-TPU tunnel; repeat runs hit the cache
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
+    """Fastest available device path: the Pallas per-LP kernel (no
+    lockstep tail, tableau in VMEM) on TPU, with the fused-update XLA
+    lockstep solver as the fallback for backends where Mosaic is
+    unavailable.  Also measures the shared-warm-start re-solve pattern
+    (pivots/LP cold vs warm)."""
+    jax = _setup_jax_cache()
 
     from bensolve_tpu.lp import simplex
 
@@ -54,45 +68,63 @@ def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
     if jax.default_backend() == "tpu":
         from bensolve_tpu.lp import pallas_simplex
 
-        def solve(cc):
+        def solve(cc, rub, warm=None):
             return pallas_simplex.lp_batch_pallas(
-                A, cc, row_lb, row_ub, col_lb, col_ub)
+                A, cc, row_lb, rub, col_lb, col_ub, start_basis=warm)
     else:
-        def solve(cc):
-            return simplex.solve_batch(A, cc, row_lb, row_ub, col_lb,
-                                       col_ub, dtype=dtype, max_chunk=B)
+        def solve(cc, rub, warm=None):
+            return simplex.solve_batch(A, cc, row_lb, rub, col_lb,
+                                       col_ub, dtype=dtype, max_chunk=B,
+                                       start_basis=warm)
 
     t_c0 = time.perf_counter()
     try:
-        res = solve(c)
+        res = solve(c, row_ub)
     except Exception as e:  # Mosaic lowering failure etc. -> XLA path
         print(f"# pallas path failed ({type(e).__name__}), "
               "falling back to XLA solver", file=sys.stderr)
 
-        def solve(cc):
-            return simplex.solve_batch(A, cc, row_lb, row_ub, col_lb,
-                                       col_ub, dtype=dtype, max_chunk=B)
+        def solve(cc, rub, warm=None):
+            return simplex.solve_batch(A, cc, row_lb, rub, col_lb,
+                                       col_ub, dtype=dtype, max_chunk=B,
+                                       start_basis=warm)
         t_c0 = time.perf_counter()
-        res = solve(c)
+        res = solve(c, row_ub)
     compile_s = time.perf_counter() - t_c0
     n_opt = int((res.status == simplex.OPTIMAL).sum())
+    cold_pivots = float(res.iters.mean())
 
     times = []
     for r in range(reps):
         # perturb objectives so nothing is cached as a constant
         c2 = c * (1.0 + 0.01 * (r + 1))
         t0 = time.perf_counter()
-        res = solve(c2)
+        res = solve(c2, row_ub)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return B / best, n_opt, compile_s, res
+
+    # Benson re-solve pattern: keep objectives, tighten row bounds a
+    # little, warm-start from an optimal basis of the previous solve
+    warm_pivots = None
+    ok = np.flatnonzero(res.status == simplex.OPTIMAL)
+    if ok.size and res.basis is not None:
+        warm = (res.basis[int(ok[0])], res.at_upper[int(ok[0])])
+        rub2 = (row_ub * 0.98).astype(row_ub.dtype)
+        wres = solve(c * 1.03, rub2, warm=warm)   # compile (new shape set)
+        t0 = time.perf_counter()
+        wres = solve(c * 1.031, rub2, warm=warm)
+        warm_time = time.perf_counter() - t0
+        warm_pivots = float(wres.iters.mean())
+        print(f"# warm re-solve: {B / warm_time:.0f} LP/s, "
+              f"pivots/LP {warm_pivots:.1f} (cold {cold_pivots:.1f})",
+              file=sys.stderr)
+    return B / best, n_opt, compile_s, cold_pivots, warm_pivots
 
 
 def run_serial_baseline(A, c, row_lb, row_ub, col_lb, col_ub, k=24):
     """Serial scipy/HiGHS on the first k instances."""
     from scipy.optimize import linprog
 
-    M, N = A.shape
     t0 = time.perf_counter()
     n_ok = 0
     for i in range(k):
@@ -106,16 +138,106 @@ def run_serial_baseline(A, c, row_lb, row_ub, col_lb, col_ub, k=24):
     return k / dt, n_ok
 
 
+def make_p2_instances(B, q=5, m=1000, n=2000, seed=7):
+    """P2-template LP batch from the BASELINE config-#4 synthetic VLP:
+    the exact matrix/bound structure the Benson hot loop issues
+    (templates.py P2Template; reference init_P2 bslv_algs.c:562-664)."""
+    from bensolve_tpu.algs.templates import INHOMOGENEOUS, P2Template
+    from bensolve_tpu.examples import random_vlp
+
+    vlp = random_vlp(q=q, m=m, n=n, seed=seed)
+    Z = np.eye(q)
+    c_dual = np.full(q, 1.0 / q)
+    # Z'c = 1 scaling (sol_init contract, bslv_vlp.c:775-792)
+    Z = Z / (Z.T @ c_dual)[None, :]
+    eta = np.full(q, 1.0 / q)
+    t2 = P2Template(vlp, vlp.P.astype(float), Z, eta, INHOMOGENEOUS,
+                    dtype=np.float32)
+    rng = np.random.default_rng(seed + 1)
+    V = rng.random((B, q)) * 2.0 + 1.0          # synthetic frontier
+    extra_ub = V @ t2.ZR
+    return t2, extra_ub
+
+
+def run_p2_shape(B=512):
+    """Throughput on the P2-template shape + a serial HiGHS baseline on
+    the SAME LPs."""
+    t2, extra_ub = make_p2_instances(B)
+    res = t2.solve(extra_ub)                    # compile + warm cache
+    from bensolve_tpu.lp import simplex
+
+    n_opt = int((res.status == simplex.OPTIMAL).sum())
+    times = []
+    for r in range(2):
+        t0 = time.perf_counter()
+        res = t2.solve(extra_ub * (1.0 + 0.01 * r))
+        times.append(time.perf_counter() - t0)
+    rate = B / min(times)
+
+    # serial baseline on identical P2 LPs
+    from scipy.optimize import linprog
+
+    obj, row_lb, row_ub, col_lb, col_ub = t2.build_inputs(extra_ub)
+    A_lp = t2.A_lp
+    k = 4
+    t0 = time.perf_counter()
+    n_ok = 0
+    for i in range(k):
+        # rows with lb == ub are equalities; bensolve's template uses
+        # free lb for the cut rows, so split by bound pattern
+        eq = row_lb[i] == row_ub[i]
+        r = linprog(obj[i],
+                    A_ub=A_lp[~eq], b_ub=row_ub[i][~eq],
+                    A_eq=A_lp[eq], b_eq=row_ub[i][eq],
+                    bounds=list(zip(col_lb[i], col_ub[i])),
+                    method="highs")
+        n_ok += r.status == 0
+    base_rate = k / (time.perf_counter() - t0)
+    print(f"# p2-shape batch={B} M={A_lp.shape[0]} N={A_lp.shape[1]} "
+          f"optimal={n_opt}/{B} serial_highs={base_rate:.2f} LP/s "
+          f"(ok {n_ok})", file=sys.stderr)
+    return rate, base_rate
+
+
+def run_ex11():
+    """Wall-clock to epsilon-solve ex11 (BASELINE metric #2) and Benson
+    rounds/s (metric #3).  Steady state: one warmup solve populates the
+    jit caches, the second is timed."""
+    from bensolve_tpu.algs.driver import solve
+    from bensolve_tpu.vlp.options import Options
+    from bensolve_tpu.vlp.reader import read_vlp
+
+    path = "/root/reference/ex/ex11.vlp"
+    r = solve(read_vlp(path), Options(write_files=False))   # warmup
+    assert r.status.name == "OPTIMAL", r.status
+    t0 = time.perf_counter()
+    r = solve(read_vlp(path), Options(write_files=False))
+    wall = time.perf_counter() - t0
+    iters_per_s = (r.stats.rounds + 1) / wall
+    print(f"# ex11: wall={wall:.2f}s rounds={r.stats.rounds} "
+          f"lps={r.stats.lps} status={r.status.name}", file=sys.stderr)
+    return wall, iters_per_s
+
+
 def main():
     M, N, B = 96, 96, 4096
     args = make_instances(M, N, B)
-    lps_per_s, n_opt, compile_s, _ = run_device(*args)
+    lps_per_s, n_opt, compile_s, cold_piv, warm_piv = run_device(*args)
     base_rate, base_ok = run_serial_baseline(*args)
+    p2_rate, p2_base = run_p2_shape()
+    ex11_wall, iters_per_s = run_ex11()
     out = {
         "metric": "scalarization_LPs_per_s_per_chip",
         "value": round(lps_per_s, 2),
         "unit": "LP/s",
         "vs_baseline": round(lps_per_s / base_rate, 3),
+        "p2_LPs_per_s": round(p2_rate, 2),
+        "p2_vs_baseline": round(p2_rate / p2_base, 3),
+        "ex11_wall_s": round(ex11_wall, 3),
+        "benson_iters_per_s": round(iters_per_s, 3),
+        "cold_pivots_per_lp": round(cold_piv, 1),
+        "warm_pivots_per_lp": (round(warm_piv, 1)
+                               if warm_piv is not None else None),
     }
     print(json.dumps(out))
     print(f"# batch={B} size={M}x{N} optimal={n_opt}/{B} "

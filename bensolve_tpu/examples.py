@@ -128,6 +128,21 @@ def example11() -> VLPProblem:
     return VLPProblem.from_arrays(A=B, a=a, P=np.eye(5))
 
 
+def random_vlp(q: int = 5, m: int = 1000, n: int = 2000,
+               seed: int = 0) -> VLPProblem:
+    """Synthetic dense feasible bounded VLP (BASELINE.json config #4:
+    q=5 objectives, 2k vars x 1k constraints; smaller shapes for the
+    scenario-batch config #5).  Ax <= a with a = A x0 + margin keeps the
+    feasible region nonempty; box bounds keep the upper image bounded."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    x0 = rng.random(n)
+    a = A @ x0 + 0.5 + rng.random(m)
+    P = rng.standard_normal((q, n)) / np.sqrt(n)
+    return VLPProblem.from_arrays(
+        A=A, b=a, P=P, l=np.zeros(n), s=np.full(n, 10.0))
+
+
 ALL = {f"example{i:02d}": fn for i, fn in enumerate(
     [example01, example02, example03, example04, example05, example06,
      example07, example08, example09, example10, example11], start=1)}

@@ -102,6 +102,18 @@ def _kernel(W0_ref, c_ref, lb_ref, ub_ref,
     zn0 = jnp.where(in_basis0 > 0, 0.0, jnp.where(at_upper0 > 0, hi, lo))
     xb0 = -bdot_mat_vec(W_ref[...], zn0)            # (G, M)
 
+    # phase-2 reduced-cost row, carried and rank-1-updated like a cost
+    # row of the extended tableau (d2 -= d2_q * w_r_scaled per pivot).
+    # While every LP in the group is feasible the pricing pass over the
+    # whole (G, M, NT) tableau is skipped entirely — the majority of
+    # iterations once phase 1 ends.
+    d2_0 = c - bdot_vec_mat(cB0, W_ref[...])
+
+    # devex reference weights (Forrest-Goldfarb): entering score
+    # d^2/gamma instead of |d| — fewer, better pivots for the same
+    # per-iteration cost (a couple of extra (G, NT) VPU ops)
+    gamma0 = jnp.zeros((G, NT), f32) + 1.0
+
     crossed = jnp.any(lb > ub, axis=1, keepdims=True)          # (G, 1)
     status0 = jnp.where(crossed, sx.INFEASIBLE,
                         sx.RUNNING).astype(jnp.int32)
@@ -111,7 +123,7 @@ def _kernel(W0_ref, c_ref, lb_ref, ub_ref,
 
     def body(carry):
         (status, basis, basis_f, in_basis, at_upper, xb, lbB, ubB, cB, stall,
-         it) = carry
+         it, k, d2, gamma) = carry
         W = W_ref[...]
         running = status == sx.RUNNING                         # (G, 1)
 
@@ -119,10 +131,21 @@ def _kernel(W0_ref, c_ref, lb_ref, ub_ref,
         viol_up = xb > ubB + TOL_BND
         feasible = ~jnp.any(viol_lo | viol_up, axis=1, keepdims=True)
 
-        cB1 = jnp.where(viol_up, 1.0, 0.0) + jnp.where(viol_lo, -1.0, 0.0)
-        cB_eff = jnp.where(feasible, cB, cB1).astype(f32)
+        def composite_price(_):
+            cB1 = jnp.where(viol_up, 1.0, 0.0) + \
+                jnp.where(viol_lo, -1.0, 0.0)
+            cB_eff = jnp.where(feasible, cB, cB1).astype(f32)
+            return jnp.where(feasible, c, 0.0) - bdot_vec_mat(cB_eff, W)
 
-        d = jnp.where(feasible, c, 0.0) - bdot_vec_mat(cB_eff, W)
+        # the full pricing pass runs only while SOME group member is
+        # still infeasible (composite phase-1 costs are not rank-1
+        # maintainable) or on the periodic drift refresh; otherwise the
+        # carried d2 row prices the whole iteration for free
+        run_pass = jnp.any(running & ~feasible) | (k % 128 == 0)
+        d = jax.lax.cond(run_pass, composite_price, lambda _: d2, 0)
+        # opportunistic exact refresh of the carried row (for feasible
+        # rows the composite pass IS the phase-2 pricing)
+        d2 = jnp.where(feasible, d, d2)
 
         val = jnp.where(at_upper > 0, hi, lo)
         nonbasic = in_basis == 0
@@ -133,7 +156,7 @@ def _kernel(W0_ref, c_ref, lb_ref, ub_ref,
         # NOTE: Mosaic's convert lowering loops on bool->float /
         # int->float casts and its argmax is float32-only, so Bland
         # scores use float iotas and a float shadow of the basis
-        score = jnp.where(eligible, jnp.abs(d), -BIG)
+        score = jnp.where(eligible, d * d / gamma, -BIG)
         q_dtz = jnp.argmax(score, axis=1, keepdims=True).astype(jnp.int32)
         bscore = jnp.where(eligible, -lane_f, -BIG)
         q_bld = jnp.argmax(bscore, axis=1, keepdims=True).astype(jnp.int32)
@@ -235,19 +258,35 @@ def _kernel(W0_ref, c_ref, lb_ref, ub_ref,
                                  1 - q_at_upper.astype(jnp.int32),
                                  at_upper_new)
 
+        # carried reduced-cost row: the standard cost-row rank-1 update
+        # (d2' = d2 - d2_q * new_row_r), valid regardless of which
+        # objective chose the pivot
+        d2_qv = jnp.sum(d2 * oq_f, axis=1, keepdims=True)      # (G, 1)
+        dp3 = do_pivot & (lane >= 0)                           # (G, NT)
+        d2_new = jnp.where(dp3, d2 - d2_qv * w_r_scaled, d2)
+
+        # devex weights (Forrest-Goldfarb reference framework)
+        gamma_q = jnp.sum(gamma * oq_f, axis=1, keepdims=True)
+        g_upd = jnp.maximum(gamma, w_r_scaled * w_r_scaled * gamma_q)
+        g_leave = jnp.maximum(gamma_q / (alpha_r * alpha_r), 1.0)
+        g_upd = jnp.where(lane == leaving, g_leave, g_upd)
+        gamma_new = jnp.where(dp3, g_upd, gamma)
+        gamma_new = jnp.where(gamma_new > 1e8, 1.0, gamma_new)
+
         degen = act & (t_star < TOL_BND)
         stall_new = jnp.where(act, jnp.where(degen, stall + 1, 0), stall)
         it_new = it + act.astype(jnp.int32)
 
         return (new_status, basis_new, basis_f_new, in_basis_new,
                 at_upper_new, xb_new, lbB_new, ubB_new, cB_new, stall_new,
-                it_new)
+                it_new, k + 1, d2_new, gamma_new)
 
     init = (status0, basis0, basis0_f, in_basis0, at_upper0, xb0, lbB0,
             ubB0, cB0,
-            jnp.zeros((G, 1), jnp.int32), jnp.zeros((G, 1), jnp.int32))
+            jnp.zeros((G, 1), jnp.int32), jnp.zeros((G, 1), jnp.int32),
+            jnp.zeros((), jnp.int32), d2_0, gamma0)
     (status, basis, basis_f, in_basis, at_upper, xb, lbB, ubB, cB, stall,
-     it) = jax.lax.while_loop(cond, body, init)
+     it, k, d2, gamma) = jax.lax.while_loop(cond, body, init)
 
     status_ref[...] = jnp.where(status == sx.RUNNING, sx.ITLIM, status)
     iters_ref[...] = it

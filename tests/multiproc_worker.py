@@ -60,6 +60,21 @@ def main() -> None:
         with open(f"{outdir}/stats_{pid}.json", "w") as f:
             json.dump({"status": r.status.name, "lps": r.stats.lps,
                        "rounds": r.stats.rounds, "cuts": r.stats.cuts}, f)
+    elif mode == "many":
+        # instance-level DP across hosts: each host owns a strided shard
+        # of the instance list (SURVEY.md section 2.2 DP row)
+        from bensolve_tpu.algs.many import solve_many
+        from bensolve_tpu.examples import random_vlp
+        from bensolve_tpu.vlp.options import Options
+
+        vlps = [random_vlp(q=2, m=6, n=5, seed=s) for s in range(24)]
+        rs = solve_many(vlps, Options(bounded=True, write_files=False))
+        owned = [i for i, r in enumerate(rs) if r is not None]
+        np.save(f"{outdir}/many_idx_{pid}.npy", np.asarray(owned))
+        for i in owned:
+            np.save(f"{outdir}/many_pts_{i}.npy", rs[i].primal_points)
+        with open(f"{outdir}/many_stats_{pid}.json", "w") as f:
+            json.dump({str(i): rs[i].status.name for i in owned}, f)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

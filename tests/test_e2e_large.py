@@ -45,3 +45,13 @@ def test_ex07_radiotherapy_loose_eps():
     assert r.status is SolStatus.OPTIMAL
     assert len(r.primal_points) > 10
     check_support(r, n_samples=8, tol=0.05)
+
+
+def test_ex09_huge():
+    # reference advice: -e 1e-2 -L primal_simplex -l primal_simplex
+    # (ex/example09.m:10,21).  q=3, m=4608, n=36939 — the revised-path
+    # memory-plan stress (support oracle at tol 1e-2, VERDICT r2 #2)
+    r = run("ex09", eps_benson_phase2=1e-2, lp_dtype="float32")
+    assert r.status is SolStatus.OPTIMAL
+    assert len(r.primal_points) >= 3
+    check_support(r, n_samples=4, tol=1e-2)

@@ -115,6 +115,34 @@ def test_distributed_solve_four_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_solve_many_two_processes(tmp_path):
+    """Instance-level DP over 2 hosts: disjoint strided ownership that
+    covers every instance, all OPTIMAL, and every owned instance's
+    vertex set equal to the single-process solve (determinism across
+    process counts)."""
+    _spawn("many", str(tmp_path), nproc=2, timeout=600)
+    idx = [np.load(tmp_path / f"many_idx_{pid}.npy") for pid in (0, 1)]
+    owned = sorted(np.concatenate(idx).tolist())
+    assert owned == list(range(24))
+    assert not set(idx[0]) & set(idx[1])
+    stats = [json.load(open(tmp_path / f"many_stats_{pid}.json"))
+             for pid in (0, 1)]
+    assert all(v == "OPTIMAL" for s in stats for v in s.values())
+
+    from bensolve_tpu.algs.many import solve_many
+    from bensolve_tpu.examples import random_vlp
+    from bensolve_tpu.vlp.options import Options
+
+    vlps = [random_vlp(q=2, m=6, n=5, seed=s) for s in range(24)]
+    ref = solve_many(vlps, Options(bounded=True, write_files=False))
+    for i in range(24):
+        got = np.load(tmp_path / f"many_pts_{i}.npy")
+        np.testing.assert_allclose(
+            np.sort(got, axis=0), np.sort(ref[i].primal_points, axis=0),
+            rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.slow
 def test_distributed_solve_dual_algorithm(tmp_path):
     """The dual Benson loop's distributed path (gathered lower-image
     points + gathered status rows) with 2 processes."""

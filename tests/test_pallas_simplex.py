@@ -30,7 +30,10 @@ def test_matches_xla_batch(seed):
     np.testing.assert_allclose(ref.x, got.x, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ref.row_dual, got.row_dual,
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(ref.iters, got.iters)
+    # the kernel prices with devex, the XLA solver with Dantzig, so the
+    # pivot PATHS differ; the kernel must still terminate in a sane
+    # pivot budget (solutions above are the semantic contract)
+    assert (got.iters <= 2 * ref.iters + 8).all()
 
 
 def test_warm_start_shared_basis():
