@@ -128,18 +128,69 @@ def solve_many(vlps: list[VLPProblem], opt: Options | None = None, *,
         inst = _Instance(i, vlp, opt)
         lockstep.setdefault(inst.shape_key(), []).append(inst)
 
-    for group in lockstep.values():
-        _run_lockstep(group, opt, sharding)
+    groups = list(lockstep.values())
+    if len(groups) > 1:
+        # EP analogue (SURVEY.md section 2.2): heterogeneous shape
+        # groups (different LP templates) advance ROUND-LOCKSTEP — every
+        # group's merged batch is DISPATCHED before any group's results
+        # are consumed, so jax's async dispatch overlaps the device work
+        # of all "experts"; with a mesh, groups round-robin over device
+        # subsets
+        _run_groups_ep(groups, opt, sharding, mesh)
+    else:
+        for group in groups:
+            _run_lockstep(group, opt, sharding)
+    for group in groups:
         for inst in group:
             results[inst.index] = _finish_instance(inst, opt)
     return results
 
 
-def _run_lockstep(group, opt, sharding) -> None:
-    """Advance a shape-homogeneous group of bounded instances through
-    seeding + the phase-2 primal main loop, one merged LP batch per
-    round (the batched analogue of bslv_algs.c:976-1081)."""
-    # seed round: one LP per column of R for every instance
+def _run_groups_ep(groups, opt, sharding, mesh) -> None:
+    """Advance heterogeneous lockstep groups concurrently: per global
+    round, submit each active group's merged LP batch (async dispatch),
+    then apply every group's results.  With a mesh, group g's batch is
+    placed on device subset g % n_subsets (expert placement)."""
+    import jax
+
+    devices = list(mesh.devices.flat) if mesh is not None else jax.devices()
+
+    def subset_sharding(g):
+        if sharding is None and len(devices) <= 1:
+            return None
+        if sharding is not None and len(groups) == 1:
+            return sharding
+        from jax.sharding import SingleDeviceSharding
+
+        return SingleDeviceSharding(devices[g % len(devices)])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # per-group solver threads: _merged_solve blocks on result
+    # materialization, so expert overlap comes from one thread per
+    # group (device work for group g+1 runs while g's results download)
+    with ThreadPoolExecutor(max_workers=max(len(groups), 1)) as pool:
+        list(pool.map(
+            lambda gg: _seed_group(gg[1], opt, subset_sharding(gg[0])),
+            enumerate(groups)))
+        while True:
+            pending = []
+            for g, group in enumerate(groups):
+                reqs = _gather_round_requests(group)
+                if reqs:
+                    batch_insts, cand_lists, requests = reqs
+                    fut = pool.submit(_merged_solve, requests, opt,
+                                      subset_sharding(g))
+                    pending.append((batch_insts, cand_lists, fut))
+            if not pending:
+                break
+            for batch_insts, cand_lists, fut in pending:
+                _apply_round_results(batch_insts, cand_lists, fut.result(),
+                                     opt)
+
+
+def _seed_group(group, opt, sharding) -> None:
+    """Seed round: one LP per column of R for every instance."""
     requests = []
     for inst in group:
         r = inst.sol.r
@@ -163,63 +214,75 @@ def _run_lockstep(group, opt, sharding) -> None:
         if inst.done is None and not inst.pair.initial_approx():
             inst.done = SolStatus.UNBOUNDED
 
-    # main loop: merged frontier rounds
+
+def _gather_round_requests(group):
+    """(batch_insts, cand_lists, requests) for the group's active
+    instances this round, or None when the group is finished."""
+    requests, batch_insts, cand_lists = [], [], []
+    for inst in group:
+        if inst.done is not None:
+            continue
+        P = inst.pair.primal
+        frontier = P.frontier()
+        ideals = frontier[P.ideal[frontier]]
+        P.sltn[ideals] = True
+        cand = frontier[~P.ideal[frontier]]
+        if cand.size == 0:
+            if P.frontier().size == 0:
+                inst.done = SolStatus.OPTIMAL
+            continue
+        V = P.data[cand]
+        requests.append((inst, V @ inst.sol.R))
+        batch_insts.append(inst)
+        cand_lists.append(cand)
+    if not requests:
+        return None
+    return batch_insts, cand_lists, requests
+
+
+def _apply_round_results(batch_insts, cand_lists, results, opt) -> None:
+    for inst, cand, res in zip(batch_insts, cand_lists, results):
+        inst.stats.rounds += 1
+        inst.stats.lps += cand.size
+        inst.stats.pivots += int(res.iters.sum())
+        bad = np.flatnonzero(res.status != sx.OPTIMAL)
+        if bad.size:
+            s = res.status[bad[0]]
+            inst.done = (SolStatus.INFEASIBLE if s == sx.INFEASIBLE
+                         else SolStatus.UNBOUNDED if s == sx.UNBOUNDED
+                         else SolStatus.ERROR)
+            continue
+        q = inst.vlp.q
+        W = inst.t2.duals_w(res)
+        YY = inst.t2.primal_y(res)
+        ystars = np.empty((cand.size, q))
+        ystars[:, : q - 1] = W[:, : q - 1]
+        ystars[:, q - 1] = np.sum(YY * W, axis=1)
+        passed = res.obj > opt.eps_benson_phase2
+        P = inst.pair.primal
+        for i, idx in enumerate(cand):
+            idx = int(idx)
+            if not P.used[idx]:
+                continue
+            if passed[i]:
+                if inst.pair.add_vertex(ystars[i], ideal=False):
+                    inst.stats.cuts += 1
+            else:
+                P.sltn[idx] = True
+
+
+def _run_lockstep(group, opt, sharding) -> None:
+    """Advance a shape-homogeneous group of bounded instances through
+    seeding + the phase-2 primal main loop, one merged LP batch per
+    round (the batched analogue of bslv_algs.c:976-1081)."""
+    _seed_group(group, opt, sharding)
     while True:
-        requests = []
-        batch_insts = []
-        cand_lists = []
-        for inst in group:
-            if inst.done is not None:
-                continue
-            P = inst.pair.primal
-            frontier = P.frontier()
-            ideals = frontier[P.ideal[frontier]]
-            P.sltn[ideals] = True
-            cand = frontier[~P.ideal[frontier]]
-            if cand.size == 0:
-                if P.frontier().size == 0:
-                    inst.done = SolStatus.OPTIMAL
-                continue
-            V = P.data[cand]
-            requests.append((inst, V @ inst.sol.R))
-            batch_insts.append(inst)
-            cand_lists.append(cand)
-        if not requests:
+        reqs = _gather_round_requests(group)
+        if reqs is None:
             break
-        for inst, cand, res in zip(batch_insts, cand_lists,
-                                   _merged_solve(requests, opt, sharding)):
-            inst.stats.rounds += 1
-            inst.stats.lps += cand.size
-            inst.stats.pivots += int(res.iters.sum())
-            bad = np.flatnonzero(res.status != sx.OPTIMAL)
-            if bad.size:
-                # report the actual failure, not a blanket "unbounded":
-                # INFEASIBLE/UNBOUNDED map to their solution statuses, an
-                # iteration-limited or numerically lost LP is an ERROR
-                # (the reference asserts LP optimality here,
-                # bslv_algs.c:1044)
-                s = res.status[bad[0]]
-                inst.done = (SolStatus.INFEASIBLE if s == sx.INFEASIBLE
-                             else SolStatus.UNBOUNDED if s == sx.UNBOUNDED
-                             else SolStatus.ERROR)
-                continue
-            q = inst.vlp.q
-            W = inst.t2.duals_w(res)
-            YY = inst.t2.primal_y(res)
-            ystars = np.empty((cand.size, q))
-            ystars[:, : q - 1] = W[:, : q - 1]
-            ystars[:, q - 1] = np.sum(YY * W, axis=1)
-            passed = res.obj > opt.eps_benson_phase2
-            P = inst.pair.primal
-            for i, idx in enumerate(cand):
-                idx = int(idx)
-                if not P.used[idx]:
-                    continue
-                if passed[i]:
-                    if inst.pair.add_vertex(ystars[i], ideal=False):
-                        inst.stats.cuts += 1
-                else:
-                    P.sltn[idx] = True
+        batch_insts, cand_lists, requests = reqs
+        _apply_round_results(batch_insts, cand_lists,
+                             _merged_solve(requests, opt, sharding), opt)
 
 
 def _finish_instance(inst, opt):

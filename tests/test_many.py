@@ -77,3 +77,37 @@ def test_solve_many_scale_smoke():
     for i in (0, 99, 199):
         rs = solve(vlps[i], Options(bounded=True))
         assert _vset(res[i]) == _vset(rs)
+
+
+def test_solve_many_heterogeneous_groups_ep():
+    """EP analogue (SURVEY.md section 2.2): instances of DIFFERENT
+    shapes form separate lockstep groups that advance concurrently
+    (per-group threads, round-robin device placement); every result
+    must match the serial per-instance driver."""
+    from bensolve_tpu.examples import random_vlp
+
+    vlps = []
+    for s in range(4):
+        vlps.append(random_vlp(q=2, m=6, n=5, seed=s))
+        vlps.append(random_vlp(q=3, m=10, n=8, seed=100 + s))
+        vlps.append(random_vlp(q=2, m=4, n=9, seed=200 + s))
+    res = solve_many(vlps, Options(bounded=True))
+    assert all(r.status is SolStatus.OPTIMAL for r in res)
+    for i in (0, 1, 2, 9, 10, 11):
+        rs = solve(vlps[i], Options(bounded=True))
+        assert _vset(res[i]) == _vset(rs)
+
+
+def test_solve_many_heterogeneous_with_mesh():
+    from jax.sharding import Mesh
+
+    from bensolve_tpu.examples import random_vlp
+
+    vlps = [random_vlp(q=2, m=6, n=5, seed=s) for s in range(4)] + \
+        [random_vlp(q=3, m=10, n=8, seed=50 + s) for s in range(4)]
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+    res = solve_many(vlps, Options(bounded=True), mesh=mesh)
+    assert all(r.status is SolStatus.OPTIMAL for r in res)
+    ref = solve_many(vlps, Options(bounded=True))
+    for a, b in zip(res, ref):
+        assert _vset(a) == _vset(b)
