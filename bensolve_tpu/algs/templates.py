@@ -76,7 +76,8 @@ class _TemplateBase:
         else:
             res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb,
                                    col_ub, start_basis=warm,
-                                   dtype=self.dtype, mesh=self.mesh)
+                                   dtype=self.dtype, mesh=self.mesh,
+                                   verbose=self.lp_verbose)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round

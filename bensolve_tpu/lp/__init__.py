@@ -29,6 +29,7 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
         return revised.solve_batch_revised(A, c, row_lb, row_ub,
                                            col_lb, col_ub, **kw)
     kw.pop("mesh", None)
+    kw.pop("verbose", None)
     if mesh is None and _pallas_eligible(M, N, kw):
         from bensolve_tpu.lp import pallas_simplex
 

@@ -138,7 +138,8 @@ def _dstep(A, c, lb, ub, st: sx._State) -> sx._State:
 
     return sx._State(basis_new, in_basis_new, at_upper_new, W_new, xb_new,
                      lbB_new, ubB_new, cB_new,
-                     new_status, stall_new, iters_new, st.step + 1)
+                     new_status, stall_new, iters_new, st.step + 1,
+                     st.gamma)   # devex weights unused by the dual rules
 
 
 def _dual_feasible_mask(A, c, lb, ub, st) -> jnp.ndarray:

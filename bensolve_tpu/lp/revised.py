@@ -56,12 +56,14 @@ class _RState:
     stall: jnp.ndarray      # (B,)
     iters: jnp.ndarray      # (B,)
     step: jnp.ndarray       # ()
+    gamma: jnp.ndarray = None  # (B, NT) devex reference weights
 
 
 jax.tree_util.register_dataclass(
     _RState,
     data_fields=["basis", "in_basis", "at_upper", "Binv", "Brows", "xb",
-                 "lbB", "ubB", "cB", "status", "stall", "iters", "step"],
+                 "lbB", "ubB", "cB", "status", "stall", "iters", "step",
+                 "gamma"],
     meta_fields=[],
 )
 
@@ -144,7 +146,8 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None, Brows0=None,
         Binv = jax.lax.with_sharding_constraint(Binv, ssharding)
         Brows = jax.lax.with_sharding_constraint(Brows, ssharding)
     return _RState(basis, in_basis, at_upper, Binv, Brows, xb, lbB, ubB, cB,
-                   status, zeros, zeros, jnp.int32(0))
+                   status, zeros, zeros, jnp.int32(0),
+                   jnp.ones((B, NT), dtype))
 
 
 def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
@@ -180,11 +183,8 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     elig_dec = can_dec & (d > TOL_DJ)
     eligible = elig_inc | elig_dec
     use_bland = st.stall > BLAND_AFTER
-    dantzig_score = jnp.where(eligible, jnp.abs(d), -jnp.inf)
-    bland_score = jnp.where(eligible, -jnp.arange(NT, dtype=c.dtype),
-                            -jnp.inf)
-    score = jnp.where(use_bland[:, None], bland_score, dantzig_score)
-    q_idx = jnp.argmax(score, axis=1)
+    q_idx = sx._devex_entering(d, eligible, st.gamma, use_bland, NT,
+                               c.dtype)
     has_entering = jnp.any(eligible, axis=1)
 
     finish_status = jnp.where(feasible, OPTIMAL, INFEASIBLE)
@@ -295,10 +295,17 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     degen = act & (t_star < TOL_BND)
     stall_new = jnp.where(act, jnp.where(degen, st.stall + 1, 0), st.stall)
     iters_new = st.iters + act.astype(jnp.int32)
+    # devex needs the pivot ROW over all NT columns: w_r = Binv_r @ E,
+    # one extra shared-A matmul per pivot — paid back by the pivot-count
+    # reduction devex buys on these tall instances
+    w_r_full = sx._e_rmatmul(A, b_r_scaled)                        # (B, NT)
+    gamma_new = sx._devex_update(st.gamma, w_r_full,
+                                 alpha_r, q_idx, leaving, do_pivot)
 
     return _RState(basis_new, in_basis_new, at_upper_new, Binv_new,
                    Brows_new, xb_new, lbB_new, ubB_new, cB_new,
-                   new_status, stall_new, iters_new, st.step + 1)
+                   new_status, stall_new, iters_new, st.step + 1,
+                   gamma_new)
 
 
 # pivots between basis-inverse refactorizations.  The product-form
@@ -395,14 +402,16 @@ def _segment_steps(M: int, NT: int, B: int, itemsize: int) -> int:
     """Steps per device program, sized so one segment stays ~10-30 s:
     per-step traffic ~ 4 Binv passes + one A read."""
     per_step = 4 * B * M * M * itemsize + 2 * M * (NT - M) * itemsize
-    return int(max(256, min(65536, 3e11 // max(per_step, 1))))
+    return int(max(256, min(65536, 6e11 // max(per_step, 1))))
 
 
 def _solve_revised_segmented(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
-                             max_iter, ssharding=None):
+                             max_iter, ssharding=None, verbose=0):
     """Host-side segment loop around the jitted pivot kernel.  State
     stays on device between segments; only status/step (a few bytes) are
     fetched to decide termination."""
+    import time as _time
+
     if basis0 is None:
         st = _revised_start_jit(A, c, lb, ub, ssharding=ssharding)
     else:
@@ -410,11 +419,18 @@ def _solve_revised_segmented(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
                                      Brows0, ssharding=ssharding)
     B, NT = c.shape
     seg = _segment_steps(A.shape[0], NT, B, c.dtype.itemsize)
+    t0 = _time.perf_counter()
     while True:
         st = _revised_run_jit(A, AT, c, lb, ub, st, seg, max_iter)
         status = np.asarray(st.status)
         step = int(st.step)
-        if (status != RUNNING).all() or step >= max_iter:
+        done = (status != RUNNING).all() or step >= max_iter
+        if verbose >= 2:
+            dt = _time.perf_counter() - t0
+            n_run = int((status == RUNNING).sum())
+            print(f"lp_solve[revised]: step={step} running={n_run}/{B} "
+                  f"{step / max(dt, 1e-9):.0f} steps/s", flush=True)
+        if done:
             break
     return _revised_finish_jit(A, c, lb, ub, st)
 
@@ -500,7 +516,8 @@ def _mesh_shardings(mesh):
 def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                         max_iter: int | None = None, dtype=np.float64,
                         start_basis=None, max_chunk: int | None = None,
-                        scale: bool = True, mesh=None) -> LPResult:
+                        scale: bool = True, mesh=None,
+                        verbose: int = 0) -> LPResult:
     """Drop-in alternative to simplex.solve_batch for N >> M (same
     padding, chunking, and warm-start contract).  ``scale`` runs the
     solve on the equilibrated problem (exact power-of-two scales) and
@@ -519,7 +536,7 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
             np.asarray(row_lb) * r[None, :], np.asarray(row_ub) * r[None, :],
             np.asarray(col_lb) / cv[None, :], np.asarray(col_ub) / cv[None, :],
             max_iter=max_iter, dtype=dtype, start_basis=start_basis,
-            max_chunk=max_chunk, scale=False, mesh=mesh)
+            max_chunk=max_chunk, scale=False, mesh=mesh, verbose=verbose)
         return LPResult(res.status, res.obj, res.x * cv[None, :],
                         res.s / r[None, :], res.row_dual * r[None, :],
                         res.col_dual / cv[None, :], res.iters,
@@ -541,7 +558,7 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
                 max_iter=max_iter, dtype=dtype,
                 start_basis=sx._slice_warm(start_basis, sl),
-                max_chunk=max_chunk, mesh=mesh))
+                max_chunk=max_chunk, mesh=mesh, verbose=verbose))
         return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
                           for f in dataclasses.fields(LPResult)))
 
@@ -574,14 +591,14 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
     if start_basis is None:
         out = _solve_revised_segmented(
             A_dev, AT_dev, put(full_c), put(lb), put(ub),
-            None, None, None, max_iter, ssharding)
+            None, None, None, max_iter, ssharding, verbose=verbose)
     else:
         b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         brows0 = _host_brows(prep, b0, dtype)   # (1 or Bp, Mp, Mp)
         out = _solve_revised_segmented(
             A_dev, AT_dev, put(full_c), put(lb), put(ub),
             jnp.asarray(b0), jnp.asarray(u0), jnp.asarray(brows0),
-            max_iter, ssharding)
+            max_iter, ssharding, verbose=verbose)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     return LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

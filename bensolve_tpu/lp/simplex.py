@@ -156,14 +156,39 @@ class _State:
     stall: jnp.ndarray      # (B,) int32 consecutive degenerate steps
     iters: jnp.ndarray      # (B,) int32
     step: jnp.ndarray       # () int32 global step counter
+    gamma: jnp.ndarray | None = None  # (B, NT) devex reference weights
 
 
 jax.tree_util.register_dataclass(
     _State,
     data_fields=["basis", "in_basis", "at_upper", "W", "xb", "lbB", "ubB",
-                 "cB", "status", "stall", "iters", "step"],
+                 "cB", "status", "stall", "iters", "step", "gamma"],
     meta_fields=[],
 )
+
+
+def _devex_entering(d, eligible, gamma, use_bland, NT, dtype):
+    """Entering-variable choice: devex scores d^2/gamma (fewer, better
+    pivots than Dantzig for the same per-iteration cost), Bland's rule
+    after a degeneracy stall."""
+    devex_score = jnp.where(eligible, d * d / gamma, -jnp.inf)
+    bland_score = jnp.where(eligible, -jnp.arange(NT, dtype=dtype),
+                            -jnp.inf)
+    score = jnp.where(use_bland[:, None], bland_score, devex_score)
+    return jnp.argmax(score, axis=1)
+
+
+def _devex_update(gamma, w_r_scaled, alpha_r, q_idx, leaving, do_pivot,
+                  lane=None):
+    """Forrest-Goldfarb reference-weight update after a pivot."""
+    B, NT = gamma.shape
+    batch = jnp.arange(B)
+    gamma_q = jnp.take_along_axis(gamma, q_idx[:, None], axis=1)
+    g_upd = jnp.maximum(gamma, w_r_scaled * w_r_scaled * gamma_q)
+    g_leave = jnp.maximum(gamma_q[:, 0] / (alpha_r * alpha_r), 1.0)
+    g_upd = g_upd.at[batch, leaving].set(g_leave)
+    g_new = jnp.where(do_pivot[:, None], g_upd, gamma)
+    return jnp.where(g_new > 1e8, 1.0, g_new)
 
 
 def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None,
@@ -254,7 +279,8 @@ def _initial_state(A, c, lb, ub, basis0=None, at_upper0=None,
     status = jnp.where(crossed, INFEASIBLE, zeros)
     return _State(basis, in_basis, at_upper, W, xb,
                   lbB, ubB, cB,
-                  status, zeros, zeros, jnp.int32(0))
+                  status, zeros, zeros, jnp.int32(0),
+                  jnp.ones((B, NT), dtype))
 
 
 def _step(A, c, lb, ub, st: _State) -> _State:
@@ -284,10 +310,7 @@ def _step(A, c, lb, ub, st: _State) -> _State:
     elig_dec = can_dec & (d > TOL_DJ)
     eligible = elig_inc | elig_dec
     use_bland = st.stall > BLAND_AFTER
-    dantzig_score = jnp.where(eligible, jnp.abs(d), -jnp.inf)
-    bland_score = jnp.where(eligible, -jnp.arange(NT, dtype=c.dtype), -jnp.inf)
-    score = jnp.where(use_bland[:, None], bland_score, dantzig_score)
-    q_idx = jnp.argmax(score, axis=1)                              # (B,)
+    q_idx = _devex_entering(d, eligible, st.gamma, use_bland, NT, c.dtype)
     has_entering = jnp.any(eligible, axis=1)
 
     # finished instances: optimal if feasible, else proven infeasible
@@ -403,10 +426,12 @@ def _step(A, c, lb, ub, st: _State) -> _State:
     degen = act & (t_star < TOL_BND)
     stall_new = jnp.where(act, jnp.where(degen, st.stall + 1, 0), st.stall)
     iters_new = st.iters + act.astype(jnp.int32)
+    gamma_new = _devex_update(st.gamma, w_r_scaled, alpha_r, q_idx,
+                              leaving, do_pivot)
 
     return _State(basis_new, in_basis_new, at_upper_new, W_new, xb_new,
                   lbB_new, ubB_new, cB_new,
-                  new_status, stall_new, iters_new, st.step + 1)
+                  new_status, stall_new, iters_new, st.step + 1, gamma_new)
 
 
 def _final_solutions(A, c, lb, ub, st: _State, Bmat=None):
