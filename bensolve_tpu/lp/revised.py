@@ -326,15 +326,24 @@ def _refactor_interval(M: int, NT: int, dtype) -> int:
     tolerances to classify statuses."""
     f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
     base = REFACTOR_EVERY_F32 if f32 else REFACTOR_EVERY_F64
-    cap = 256 if f32 else 1024
-    return max(base, min(4 * M * M // max(NT, 1), cap))
+    cap = 64 if f32 else 1024
+    return max(min(base, cap), min(4 * M * M // max(NT, 1), cap))
 
 
 def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     """Recompute Binv and xb from a fresh batched LU of the current
     basis (incrementally maintained in st.Brows — no gather from A),
-    discarding accumulated product-form error."""
+    discarding accumulated product-form error.
+
+    Singular-basis recovery: when even the fresh LU leaves non-finite
+    state (a clamped-pivot factorization of a numerically dependent
+    basis), the instance RESETS to the standard slack basis and
+    re-solves from scratch — the batched analogue of GLPK's
+    glp_std_basis retry (bslv_lp.c:222-227).  Without this, a poisoned
+    instance livelocks: every pivot is skipped by the finite guard and
+    every refactorization rebuilds the same singular basis."""
     M = A.shape[0]
+    B, NT = c.shape
     dtype = c.dtype
     Bmat = jnp.swapaxes(st.Brows, 1, 2)
     lu, piv = jax.vmap(linalg.lu_factor)(Bmat)
@@ -342,7 +351,35 @@ def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     Binv = jax.vmap(lambda f, p: linalg.lu_solve((f, p), eye))(lu, piv)
     zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
     xb = jnp.einsum("bij,bj->bi", Binv, -sx._e_matmul(A, zn))
-    return dataclasses.replace(st, Binv=Binv, xb=xb)
+
+    bad = (st.status == RUNNING) & ~(
+        jnp.all(jnp.isfinite(xb), axis=1)
+        & jnp.all(jnp.isfinite(Binv.reshape(B, -1)), axis=1))
+    aux = jnp.arange(M, dtype=jnp.int32)
+    in_basis1 = jnp.concatenate([jnp.ones(M, bool),
+                                 jnp.zeros(NT - M, bool)])
+    basis = jnp.where(bad[:, None], aux[None, :], st.basis)
+    in_basis = jnp.where(bad[:, None], in_basis1[None, :], st.in_basis)
+    atup_def = (~jnp.isfinite(lb)) & jnp.isfinite(ub) & ~in_basis1[None, :]
+    at_upper = jnp.where(bad[:, None], atup_def, st.at_upper)
+    eyeB = jnp.broadcast_to(eye[None], Binv.shape)
+    Binv = jnp.where(bad[:, None, None], eyeB, Binv)
+    Brows = jnp.where(bad[:, None, None], eyeB, st.Brows)
+    lbB = jnp.where(bad[:, None],
+                    jnp.take_along_axis(lb, basis, axis=1), st.lbB)
+    ubB = jnp.where(bad[:, None],
+                    jnp.take_along_axis(ub, basis, axis=1), st.ubB)
+    cB = jnp.where(bad[:, None],
+                   jnp.take_along_axis(c, basis, axis=1), st.cB)
+    zn2 = jnp.where(in_basis, 0.0, _nb_value(lb, ub, at_upper))
+    rhs2 = -sx._e_matmul(A, zn2)
+    xb = jnp.where(bad[:, None], rhs2, xb)
+    gamma = jnp.where(bad[:, None], jnp.ones((), dtype), st.gamma)
+    stall = jnp.where(bad, 0, st.stall)
+    return dataclasses.replace(st, basis=basis, in_basis=in_basis,
+                               at_upper=at_upper, Binv=Binv, Brows=Brows,
+                               xb=xb, lbB=lbB, ubB=ubB, cB=cB,
+                               stall=stall, gamma=gamma)
 
 
 @functools.partial(jax.jit, static_argnames=("ssharding",))
@@ -428,8 +465,12 @@ def _solve_revised_segmented(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
         if verbose >= 2:
             dt = _time.perf_counter() - t0
             n_run = int((status == RUNNING).sum())
+            obj = float(np.asarray(
+                jnp.sum(st.cB[0] * st.xb[0])))   # basic-part objective
+            stall = int(np.asarray(st.stall[0]))
             print(f"lp_solve[revised]: step={step} running={n_run}/{B} "
-                  f"{step / max(dt, 1e-9):.0f} steps/s", flush=True)
+                  f"{step / max(dt, 1e-9):.0f} steps/s "
+                  f"obj0~{obj:.6g} stall0={stall}", flush=True)
         if done:
             break
     return _revised_finish_jit(A, c, lb, ub, st)
