@@ -57,13 +57,25 @@ class _RState:
     iters: jnp.ndarray      # (B,)
     step: jnp.ndarray       # ()
     gamma: jnp.ndarray = None  # (B, NT) devex reference weights
+    # carried phase-2 reduced-cost row (the classic cost-row rank-1
+    # update): while every running instance is primal feasible the full
+    # pricing pass d = c - (cB Binv) E -- ONE whole-A matmul per pivot,
+    # the dominant cost at ex09 scale -- is replaced by
+    # d' = d - d_q * w_r, reusing the w_r row devex already computes.
+    dred: jnp.ndarray = None   # (B, NT)
+    # instances whose carried row is stale (just turned feasible, was
+    # reset at refactorization, or wants to declare optimality off a
+    # carried row): forces an exact pricing pass next step
+    force: jnp.ndarray = None  # (B,) bool
+    # singular-basis slack resets applied by _refactor (diagnostic)
+    resets: jnp.ndarray = None  # (B,) int32
 
 
 jax.tree_util.register_dataclass(
     _RState,
     data_fields=["basis", "in_basis", "at_upper", "Binv", "Brows", "xb",
                  "lbB", "ubB", "cB", "status", "stall", "iters", "step",
-                 "gamma"],
+                 "gamma", "dred", "force", "resets"],
     meta_fields=[],
 )
 
@@ -147,7 +159,17 @@ def _initial_rstate(A, c, lb, ub, basis0=None, at_upper0=None, Brows0=None,
         Brows = jax.lax.with_sharding_constraint(Brows, ssharding)
     return _RState(basis, in_basis, at_upper, Binv, Brows, xb, lbB, ubB, cB,
                    status, zeros, zeros, jnp.int32(0),
-                   jnp.ones((B, NT), dtype))
+                   jnp.ones((B, NT), dtype),
+                   jnp.zeros((B, NT), dtype), jnp.ones(B, bool),
+                   jnp.zeros(B, jnp.int32))
+
+
+# pricing mode: True replaces most full pricing passes with the carried
+# rank-1-updated cost row (one whole-A matmul saved per pivot); False
+# reprices exactly every step.  Module-level so a mis-compiling backend
+# can be bisected; flips require a fresh process (jit caches key on the
+# traced program).
+CARRIED_PRICING = True
 
 
 def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
@@ -164,10 +186,29 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     cB1 = jnp.where(viol_up, 1.0, 0.0) + jnp.where(viol_lo, -1.0, 0.0)
     cB_eff = jnp.where(feasible[:, None], st.cB, cB1).astype(c.dtype)
 
-    # duals y = cB_eff @ Binv; reduced costs d = c_eff - y E, where the
-    # structural part -(y @ A) is ONE batched matmul over the shared A
+    # duals y = cB_eff @ Binv (needed for the finite guard regardless
+    # of the pricing mode; M x M work, cheap next to the A pass)
     y = jnp.einsum("bm,bmk->bk", cB_eff, st.Binv)                  # (B, M)
-    d = jnp.where(feasible[:, None], c, 0.0) - sx._e_rmatmul(A, y)
+
+    # pricing: the full pass d = c_eff - y E streams the whole shared A
+    # once per pivot -- at ex09 scale (M~4.6k, N~37k) that is the
+    # dominant per-step cost.  While every running instance is primal
+    # feasible, the carried cost row st.dred (rank-1-updated each pivot)
+    # prices the step with no A pass at all; the full pass runs while
+    # any instance is infeasible (composite phase-1 costs are not
+    # rank-1-maintainable), when a carried row is stale (st.force), and
+    # on a periodic drift refresh.
+    def full_price(_):
+        return jnp.where(feasible[:, None], c, 0.0) - sx._e_rmatmul(A, y)
+
+    if CARRIED_PRICING:
+        run_full = (jnp.any(running & ~feasible)
+                    | jnp.any(running & st.force)
+                    | (st.step % 64 == 0))
+        d = jax.lax.cond(run_full, full_price, lambda _: st.dred, 0)
+    else:
+        run_full = jnp.bool_(True)
+        d = full_price(0)
 
     # non-finite guard: an overflowed/NaN-poisoned instance must not be
     # classified (NaN comparisons read as "feasible & no entering" ->
@@ -188,8 +229,12 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     has_entering = jnp.any(eligible, axis=1)
 
     finish_status = jnp.where(feasible, OPTIMAL, INFEASIBLE)
-    new_status = jnp.where(running & ~has_entering & finite,
-                           finish_status, st.status)
+    # a finish verdict is only trusted when this step's pricing was
+    # exact (run_full); off a carried row the instance instead sets
+    # st.force so the NEXT step reprices exactly and finishes then
+    would_finish = running & ~has_entering & finite
+    new_status = jnp.where(would_finish & run_full, finish_status,
+                           st.status)
     act = running & has_entering & finite
 
     sigma = jnp.where(
@@ -302,10 +347,16 @@ def _rstep(A, AT, c, lb, ub, st: _RState) -> _RState:
     gamma_new = sx._devex_update(st.gamma, w_r_full,
                                  alpha_r, q_idx, leaving, do_pivot)
 
+    # carried cost row: d' = d - d_q * w_r (exact phase-2 update; the
+    # entering column's new reduced cost is exactly 0 since w_r_q = 1)
+    d_q = jnp.take_along_axis(d, q_idx[:, None], axis=1)           # (B, 1)
+    dred_new = jnp.where(do_pivot[:, None], d - d_q * w_r_full, d)
+    force_new = (running & ~feasible) | (would_finish & ~run_full)
+
     return _RState(basis_new, in_basis_new, at_upper_new, Binv_new,
                    Brows_new, xb_new, lbB_new, ubB_new, cB_new,
                    new_status, stall_new, iters_new, st.step + 1,
-                   gamma_new)
+                   gamma_new, dred_new, force_new, st.resets)
 
 
 # pivots between basis-inverse refactorizations.  The product-form
@@ -376,10 +427,61 @@ def _refactor(A, c, lb, ub, st: _RState) -> _RState:
     xb = jnp.where(bad[:, None], rhs2, xb)
     gamma = jnp.where(bad[:, None], jnp.ones((), dtype), st.gamma)
     stall = jnp.where(bad, 0, st.stall)
+    # the fresh Binv invalidates every carried cost row (it was rank-1
+    # maintained against the drifted product form)
+    force = jnp.ones_like(st.force)
     return dataclasses.replace(st, basis=basis, in_basis=in_basis,
                                at_upper=at_upper, Binv=Binv, Brows=Brows,
                                xb=xb, lbB=lbB, ubB=ubB, cB=cB,
-                               stall=stall, gamma=gamma)
+                               stall=stall, gamma=gamma, force=force,
+                               resets=st.resets + bad.astype(jnp.int32))
+
+
+@jax.jit
+def _rebound_jit(A, c, lb, ub, st):
+    """Switch a finished perturbed-bounds solve back to the EXACT
+    bounds, keeping the basis/factorization: re-gather the basic bound
+    columns, recompute xb from the exact nonbasic values, and resume
+    every non-INFEASIBLE instance (stage 2 of the anti-degeneracy
+    perturbation — typically a handful of cleanup pivots)."""
+    lbB = jnp.take_along_axis(lb, st.basis, axis=1)
+    ubB = jnp.take_along_axis(ub, st.basis, axis=1)
+    zn = jnp.where(st.in_basis, 0.0, _nb_value(lb, ub, st.at_upper))
+    xb = jnp.einsum("bij,bj->bi", st.Binv, -sx._e_matmul(A, zn))
+    status = jnp.where(st.status == INFEASIBLE, INFEASIBLE, RUNNING)
+    return dataclasses.replace(st, lbB=lbB, ubB=ubB, xb=xb,
+                               status=status,
+                               stall=jnp.zeros_like(st.stall),
+                               force=jnp.ones_like(st.force))
+
+
+# anti-degeneracy bound perturbation (stage-1 relaxation scale,
+# relative): must clearly exceed the dtype feasibility tolerance
+# (_tols: 1e-5 f32 / 1e-9 f64) to actually separate degenerate
+# vertices.  Fully degenerate instances — e.g. the homogeneous Benson
+# LPs, whose RHS is identically 0 so EVERY basis is degenerate — make
+# the primal simplex wander plateaus for tens of thousands of pivots
+# without this (the ex09 phase-0 grind).
+PERT_F32 = 1e-4
+PERT_F64 = 1e-7
+# cold instances at least this large get the two-stage treatment
+PERTURB_MIN_M = 512
+
+
+def _perturbed_bounds(lb: np.ndarray, ub: np.ndarray, dtype):
+    """Deterministic outward perturbation of every finite bound:
+    lb - e, ub + e with e = s*(1+|b|)*u, u in [0.5, 1.5) from a fixed
+    seed.  Expansion preserves feasibility of the exact problem, and
+    INFEASIBLE on the relaxed instance implies INFEASIBLE exactly."""
+    s = PERT_F32 if np.dtype(dtype) == np.dtype(np.float32) else PERT_F64
+    rng = np.random.default_rng(0x5EED)
+    u_lo = rng.random(lb.shape[-1]) + 0.5
+    u_hi = rng.random(ub.shape[-1]) + 0.5
+    lb1 = np.where(np.isfinite(lb),
+                   lb - s * (1.0 + np.abs(lb)) * u_lo, lb)
+    ub1 = np.where(np.isfinite(ub),
+                   ub + s * (1.0 + np.abs(ub)) * u_hi, ub)
+    return lb1.astype(dtype), ub1.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ssharding",))
@@ -443,37 +545,57 @@ def _segment_steps(M: int, NT: int, B: int, itemsize: int) -> int:
 
 
 def _solve_revised_segmented(A, AT, c, lb, ub, basis0, at_upper0, Brows0,
-                             max_iter, ssharding=None, verbose=0):
+                             max_iter, ssharding=None, verbose=0,
+                             pert=None):
     """Host-side segment loop around the jitted pivot kernel.  State
     stays on device between segments; only status/step (a few bytes) are
-    fetched to decide termination."""
+    fetched to decide termination.
+
+    ``pert``: (lb1, ub1) outward-perturbed bounds for the two-stage
+    anti-degeneracy solve — stage 1 pivots on the relaxed bounds (all
+    vertices distinct), then _rebound_jit restores the exact bounds and
+    stage 2 cleans up warm from the stage-1 basis."""
     import time as _time
 
+    lb_run, ub_run = (pert if pert is not None else (lb, ub))
     if basis0 is None:
-        st = _revised_start_jit(A, c, lb, ub, ssharding=ssharding)
+        st = _revised_start_jit(A, c, lb_run, ub_run, ssharding=ssharding)
     else:
-        st = _revised_start_warm_jit(A, c, lb, ub, basis0, at_upper0,
-                                     Brows0, ssharding=ssharding)
+        st = _revised_start_warm_jit(A, c, lb_run, ub_run, basis0,
+                                     at_upper0, Brows0, ssharding=ssharding)
     B, NT = c.shape
     seg = _segment_steps(A.shape[0], NT, B, c.dtype.itemsize)
     t0 = _time.perf_counter()
+    stage = 1 if pert is not None else 2
+    cap = max_iter
     while True:
-        st = _revised_run_jit(A, AT, c, lb, ub, st, seg, max_iter)
+        st = _revised_run_jit(A, AT, c, lb_run, ub_run, st, seg, cap)
         status = np.asarray(st.status)
         step = int(st.step)
-        done = (status != RUNNING).all() or step >= max_iter
+        done = (status != RUNNING).all() or step >= cap
         if verbose >= 2:
             dt = _time.perf_counter() - t0
             n_run = int((status == RUNNING).sum())
             obj = float(np.asarray(
                 jnp.sum(st.cB[0] * st.xb[0])))   # basic-part objective
             stall = int(np.asarray(st.stall[0]))
+            resets = int(np.asarray(st.resets[0]))
+            nbs = int(np.asarray((st.basis[0] >= A.shape[0]).sum()))
             print(f"lp_solve[revised]: step={step} running={n_run}/{B} "
                   f"{step / max(dt, 1e-9):.0f} steps/s "
-                  f"obj0~{obj:.6g} stall0={stall}", flush=True)
+                  f"obj0~{obj:.6g} stall0={stall} resets0={resets} "
+                  f"nbstruct0={nbs}"
+                  f"{' [perturbed]' if stage == 1 else ''}", flush=True)
         if done:
+            if stage == 1:
+                stage = 2
+                lb_run, ub_run = lb, ub
+                st = _rebound_jit(A, c, lb, ub, st)
+                # cleanup budget: warm re-verification is short
+                cap = step + max(2 * A.shape[0], 2000)
+                continue
             break
-    return _revised_finish_jit(A, c, lb, ub, st)
+    return _revised_finish_jit(A, c, lb_run, ub_run, st)
 
 
 def _host_brows(prep: sx._PreparedA, b0: np.ndarray, dtype) -> np.ndarray:
@@ -630,9 +752,14 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                                           col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
+        pert = None
+        if Mp >= PERTURB_MIN_M:
+            lb1, ub1 = _perturbed_bounds(lb, ub, dtype)
+            pert = (put(lb1), put(ub1))
         out = _solve_revised_segmented(
             A_dev, AT_dev, put(full_c), put(lb), put(ub),
-            None, None, None, max_iter, ssharding, verbose=verbose)
+            None, None, None, max_iter, ssharding, verbose=verbose,
+            pert=pert)
     else:
         b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
         brows0 = _host_brows(prep, b0, dtype)   # (1 or Bp, Mp, Mp)

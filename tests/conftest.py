@@ -15,7 +15,10 @@ import jax  # noqa: E402
 # (a tunnel backend with remote compilation, ~80s per compile).  jax is
 # typically already imported by sitecustomize before this file runs, so
 # the env var is too late -- use the config API, which always works.
-jax.config.update("jax_platforms", "cpu")
+# BENSOLVE_TPU=1 opts out (used to run the large acceptance tests,
+# tests/test_e2e_large.py, on the real chip).
+if os.environ.get("BENSOLVE_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
