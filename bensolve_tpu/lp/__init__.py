@@ -25,6 +25,16 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
     else:
         M, N = np.asarray(A).shape
     mesh = kw.get("mesh")
+    if mesh is None and M + N >= _ipm_min_size():
+        # huge instances: the per-pivot while-loop floor (~ms/step on
+        # the TPU runtime, whatever M) makes every simplex variant
+        # pivot-count-bound; the Mehrotra IPM solves in ~15-40 MXU
+        # iterations independent of degeneracy (lp/ipm.py)
+        from bensolve_tpu.lp import ipm
+
+        return ipm.solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub,
+                                   dtype=kw.get("dtype", np.float64),
+                                   verbose=kw.get("verbose", 0))
     if N >= revised.REVISED_RATIO * M:
         return revised.solve_batch_revised(A, c, row_lb, row_ub,
                                            col_lb, col_ub, **kw)
@@ -39,6 +49,20 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
             return res
     return simplex.solve_batch(A, c, row_lb, row_ub, col_lb, col_ub,
                                mesh=mesh, **kw)
+
+
+def _ipm_min_size() -> int:
+    """M+N above which solve_batch_auto routes to the interior-point
+    backend (override with BENSOLVE_IPM_MIN; 0 disables the IPM)."""
+    import os
+
+    v = os.environ.get("BENSOLVE_IPM_MIN")
+    if v:
+        n = int(v)
+        return n if n > 0 else 1 << 62
+    from bensolve_tpu.lp import ipm
+
+    return ipm.IPM_MIN_SIZE
 
 
 def _pallas_eligible(M: int, N: int, kw) -> bool:
