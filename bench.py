@@ -121,18 +121,36 @@ def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
     return B / best, n_opt, compile_s, cold_pivots, warm_pivots
 
 
-def run_serial_baseline(A, c, row_lb, row_ub, col_lb, col_ub, k=24):
-    """Serial scipy/HiGHS on the first k instances."""
+def _highs_one(A, ci, rlb, rub, clb, cub):
+    """One serial HiGHS solve handling the full bound-type range: split
+    rows by pattern (equality / <= / >= / free), dropping free rows —
+    the P2 template's inhomogeneous eta row has lb=-inf, ub=+inf, and
+    linprog rejects non-finite b_ub (the round-3 bench crash)."""
     from scipy.optimize import linprog
 
+    A = np.float64(A)
+    rlb, rub = np.float64(rlb), np.float64(rub)
+    eq = np.isfinite(rlb) & np.isfinite(rub) & (rlb == rub)
+    ub_rows = np.isfinite(rub) & ~eq
+    lb_rows = np.isfinite(rlb) & ~eq
+    A_ub = np.concatenate([A[ub_rows], -A[lb_rows]])
+    b_ub = np.concatenate([rub[ub_rows], -rlb[lb_rows]])
+    return linprog(np.float64(ci),
+                   A_ub=A_ub if A_ub.size else None,
+                   b_ub=b_ub if b_ub.size else None,
+                   A_eq=A[eq] if eq.any() else None,
+                   b_eq=rub[eq] if eq.any() else None,
+                   bounds=list(zip(np.float64(clb), np.float64(cub))),
+                   method="highs")
+
+
+def run_serial_baseline(A, c, row_lb, row_ub, col_lb, col_ub, k=24):
+    """Serial scipy/HiGHS on the first k instances."""
     t0 = time.perf_counter()
     n_ok = 0
     for i in range(k):
-        res = linprog(np.float64(c[i]), A_ub=np.float64(A),
-                      b_ub=np.float64(row_ub[i]),
-                      bounds=list(zip(np.float64(col_lb[i]),
-                                      np.float64(col_ub[i]))),
-                      method="highs")
+        res = _highs_one(A, c[i], row_lb[i], row_ub[i], col_lb[i],
+                         col_ub[i])
         n_ok += res.status == 0
     dt = time.perf_counter() - t0
     return k / dt, n_ok
@@ -174,23 +192,16 @@ def run_p2_shape(B=512):
         times.append(time.perf_counter() - t0)
     rate = B / min(times)
 
-    # serial baseline on identical P2 LPs
-    from scipy.optimize import linprog
-
+    # serial baseline on identical P2 LPs (free/one-sided rows split by
+    # bound pattern — linprog rejects non-finite b_ub)
     obj, row_lb, row_ub, col_lb, col_ub = t2.build_inputs(extra_ub)
     A_lp = t2.A_lp
     k = 4
     t0 = time.perf_counter()
     n_ok = 0
     for i in range(k):
-        # rows with lb == ub are equalities; bensolve's template uses
-        # free lb for the cut rows, so split by bound pattern
-        eq = row_lb[i] == row_ub[i]
-        r = linprog(obj[i],
-                    A_ub=A_lp[~eq], b_ub=row_ub[i][~eq],
-                    A_eq=A_lp[eq], b_eq=row_ub[i][eq],
-                    bounds=list(zip(col_lb[i], col_ub[i])),
-                    method="highs")
+        r = _highs_one(A_lp, obj[i], row_lb[i], row_ub[i], col_lb[i],
+                       col_ub[i])
         n_ok += r.status == 0
     base_rate = k / (time.perf_counter() - t0)
     print(f"# p2-shape batch={B} M={A_lp.shape[0]} N={A_lp.shape[1]} "

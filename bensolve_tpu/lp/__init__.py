@@ -32,9 +32,12 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
         # iterations independent of degeneracy (lp/ipm.py)
         from bensolve_tpu.lp import ipm
 
+        ipm_kw = {}
+        if "max_iter" in kw:
+            ipm_kw["max_iter"] = kw["max_iter"]
         return ipm.solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub,
                                    dtype=kw.get("dtype", np.float64),
-                                   verbose=kw.get("verbose", 0))
+                                   verbose=kw.get("verbose", 0), **ipm_kw)
     if N >= revised.REVISED_RATIO * M:
         return revised.solve_batch_revised(A, c, row_lb, row_ub,
                                            col_lb, col_ub, **kw)
@@ -53,16 +56,18 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
 
 def _ipm_min_size() -> int:
     """M+N above which solve_batch_auto routes to the interior-point
-    backend (override with BENSOLVE_IPM_MIN; 0 disables the IPM)."""
+    backend.  Opt-in: the route is DISABLED unless BENSOLVE_IPM_MIN is
+    set to a positive threshold (0 also disables).  The simplex family
+    remains the default production path for every size; callers that
+    want the IPM at scale (e.g. the ex09 flow) set the env knob or call
+    ipm.solve_batch_ipm directly."""
     import os
 
     v = os.environ.get("BENSOLVE_IPM_MIN")
     if v:
         n = int(v)
         return n if n > 0 else 1 << 62
-    from bensolve_tpu.lp import ipm
-
-    return ipm.IPM_MIN_SIZE
+    return 1 << 62
 
 
 def _pallas_eligible(M: int, N: int, kw) -> bool:

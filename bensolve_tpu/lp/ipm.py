@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -118,9 +119,18 @@ def _chol_solve(L, b):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
-def _ipm_core(A, c, l, u, max_iter, dtype):
+def _ipm_core(A, c, l, u, split, max_iter, dtype):
     """One jitted IPM solve over a batch sharing A.  c, l, u: (B, K)
-    with K = N + M (x then s).  Returns (z, y, zl, zu, status, iters).
+    with K = N + M (x then s).  ``split``: (nf, 2) int32 column-index
+    pairs of free-variable splits x = x+ - x- (both halves in [0, inf));
+    after each step the pair's common mode min(x+, x-) is pulled back
+    toward 1 — the two columns of A are exact negatives, so the shift
+    changes no residual, and without it the pair drifts to +inf along
+    the null direction and trips the divergence detector (the round-3
+    P2-template INFEASIBLE misclassification).  Returns
+    (z, y, zl, zu, status, iters) with status -1 for instances still
+    running at max_iter — classification of those is the Python
+    caller's job (Farkas certificate / polish), not a heuristic here.
     """
     tol, reg_p, reg_d, damp, div = _params(dtype)
     B, K = c.shape
@@ -226,6 +236,14 @@ def _ipm_core(A, c, l, u, max_iter, dtype):
                   & jnp.all(jnp.isfinite(dy), axis=1))
         upd = (running & chol_ok & dir_ok)[:, None]
         z_n = jnp.where(upd, z + a_p * dz, z)
+        if split.shape[0]:
+            # recenter free-split pairs: subtract the common mode above
+            # 1.0 from both halves (columns are exact negatives, so Gz
+            # and c'z are unchanged; x = x+ - x- is preserved)
+            zp, zm = z_n[:, split[:, 0]], z_n[:, split[:, 1]]
+            shift = jnp.maximum(jnp.minimum(zp, zm) - 1.0, 0.0)
+            z_n = z_n.at[:, split[:, 0]].add(-shift)
+            z_n = z_n.at[:, split[:, 1]].add(-shift)
         y_n = jnp.where(upd, y + a_d * dy, y)
         zl_n = jnp.where(upd, jnp.maximum(zl + a_d * dzl, 0.0), zl)
         zu_n = jnp.where(upd, jnp.maximum(zu + a_d * dzu, 0.0), zu)
@@ -260,7 +278,11 @@ def _ipm_core(A, c, l, u, max_iter, dtype):
         # iteration); anything below 30%/iter counts as stalling
         improving = mu_n < 0.7 * mu_prev
         noimp_n = jnp.where(improving, 0, noimp + 1)
-        stalled = (noimp_n >= 8) & (pinf < 10 * tol) & (dinf < 100 * tol)
+        # stall acceptance must bound the duality gap too — residuals
+        # alone let a stalled solve return OPTIMAL with an arbitrarily
+        # large objective error (round-3 advisor finding)
+        stalled = ((noimp_n >= 8) & (pinf < 10 * tol) & (dinf < 100 * tol)
+                   & (gap < 100 * tol))
 
         converged = ((pinf < tol) & (dinf < 10 * tol) & (gap < tol)
                      ) | stalled
@@ -293,35 +315,168 @@ def _ipm_core(A, c, l, u, max_iter, dtype):
             jnp.zeros(B, jnp.int32))
     (z, y, zl, zu, p, w, status, it, mu,
      _noimp) = jax.lax.while_loop(cond, body, init)
-
-    # post-loop classification of still-running instances: an
-    # infeasible LP shows a stagnating primal residual with exploding
-    # bound multipliers; an unbounded one a diverging primal iterate
-    # with a clean primal residual
-    r_p = -Gz(z)
-    znorm = jnp.max(jnp.abs(z), axis=1)
-    pinf = jnp.max(jnp.abs(r_p), axis=1) / (1.0 + znorm)
-    dual_norm = jnp.maximum(jnp.max(zl, axis=1), jnp.max(zu, axis=1))
-    tail = jnp.where(
-        (pinf > jnp.sqrt(tol)) | (dual_norm > div), INFEASIBLE,
-        jnp.where((znorm > 0.01 * div) & (pinf < jnp.sqrt(tol)),
-                  UNBOUNDED, ITLIM))
-    status = jnp.where(status < 0, tail, status)
     return z, y, zl, zu, status, it
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _ipm_jit(A, c, l, u, max_iter):
-    return _ipm_core(A, c, l, u, max_iter, c.dtype)
+def _ipm_jit(A, c, l, u, split, max_iter):
+    return _ipm_core(A, c, l, u, split, max_iter, c.dtype)
+
+
+def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
+    """Crossover-lite polish of one instance in the SCALED space: pin
+    the active set read off the final iterate, least-squares-correct
+    the free primal variables onto G z = 0 and the duals onto zero
+    reduced cost for free columns (the 'refinement to basic-solution
+    accuracy' the IPM lacks — its regularized normal equations floor
+    the primal residual around 1e-4..1e-6 while complementarity
+    collapses to 1e-13).  The initial pinning can be slightly wrong on
+    degenerate instances (observed: 41 of 64 pinned leaves |F| < M and
+    the residual unreachable), so the active set is repaired
+    adaptively: unpin the most marginal bounds while the primal
+    residual is stuck, unpin sign-violating duals, pin free columns
+    whose reduced cost is clearly nonzero.  Returns (z', y', ok); on
+    ok=False the caller keeps the raw iterate and status logic."""
+    M, Nc = As.shape
+    has_l = np.isfinite(l)
+    has_u = np.isfinite(u)
+    fixed = has_l & has_u & (u - l <= 0)
+    dist_l = np.maximum(z - l, 1e-300)
+    dist_u = np.maximum(u - z, 1e-300)
+    at_lb = ~fixed & has_l & (zl / dist_l >= zu / dist_u) & (zl > dist_l)
+    at_ub = ~fixed & has_u & ~at_lb & (zu > dist_u)
+    # marginality of a pinned bound = its multiplier size (a variable
+    # exactly at its bound has dist ~ 0, so a multiplier/distance ratio
+    # is useless as a tie-breaker)
+    marg = np.where(at_lb, zl, zu)
+    dtol = 1e-6 * (1.0 + np.abs(c_s).max())
+
+    for _ in range(max_rounds):
+        pinned = fixed | at_lb | at_ub
+        F = np.flatnonzero(~pinned)
+        if F.size == 0 or F.size > 6 * M + 16:
+            return z, y, False
+        zp = z.copy()
+        zp[fixed | at_lb] = l[fixed | at_lb]
+        zp[at_ub] = u[at_ub]
+
+        # G = [As, -I]; free-column block
+        GF = np.zeros((M, F.size))
+        GF[:, F < Nc] = As[:, F[F < Nc]]
+        slack = np.flatnonzero(F >= Nc)
+        GF[F[slack] - Nc, slack] = -1.0
+
+        act = zp[:Nc] @ As.T - zp[Nc:]
+        d, *_ = np.linalg.lstsq(GF, -act, rcond=None)
+        zp[F] += d
+        act = zp[:Nc] @ As.T - zp[Nc:]
+        scale_z = 1.0 + np.abs(zp).max()
+        if not np.isfinite(scale_z):
+            return z, y, False
+        if np.abs(act).max() > 1e-8 * scale_z:
+            # residual unreachable from this free set: unpin the single
+            # most weakly pinned bound (smallest multiplier) — one at a
+            # time; unpinning several overshoots |F| past M and turns
+            # the dual fit overdetermined
+            cand = np.flatnonzero(at_lb | at_ub)
+            if cand.size == 0:
+                return z, y, False
+            k = cand[np.argmin(marg[cand])]
+            at_lb[k] = False
+            at_ub[k] = False
+            continue
+        btol = 1e-7 * scale_z
+        viol_l = has_l & ~pinned & (zp < l - btol)
+        viol_u = has_u & ~pinned & (zp > u + btol)
+        if viol_l.any() or viol_u.any():
+            at_lb[viol_l & ~fixed] = True
+            at_ub[viol_u & ~fixed & ~viol_l] = True
+            continue
+
+        e, *_ = np.linalg.lstsq(GF.T, c_s[F] - GF.T @ y, rcond=None)
+        yp = y + e
+        rd = c_s - np.concatenate([yp @ As, -yp])
+        bad_lb = at_lb & (rd < -dtol)
+        bad_ub = at_ub & (rd > dtol)
+        bad_f = ~pinned & (np.abs(rd) > dtol)
+        if not (bad_lb.any() or bad_ub.any() or bad_f.any()):
+            return zp, yp, True
+        if bad_lb.any() or bad_ub.any():
+            at_lb[bad_lb] = False
+            at_ub[bad_ub] = False
+            continue
+        # free columns with clearly nonzero reduced cost belong at a
+        # bound (positive rd -> lower, negative -> upper).  When
+        # |F| > M the dual fit is overdetermined and EVERY free column
+        # shows spread-out residuals — pin only the worst offenders,
+        # at most enough to bring |F| down to M
+        n_pin = max(1, F.size - M)
+        order = np.flatnonzero(bad_f)[np.argsort(-np.abs(rd[bad_f]))]
+        n_done = 0
+        for j in order:
+            if n_done >= n_pin:
+                break
+            if rd[j] > 0 and has_l[j]:
+                at_lb[j] = True
+                n_done += 1
+            elif rd[j] < 0 and has_u[j]:
+                at_ub[j] = True
+                n_done += 1
+        if n_done == 0:
+            return z, y, False
+    return z, y, False
+
+
+def _farkas_infeasible(As, y, l, u) -> bool:
+    """Infeasibility certificate for {G z = 0, l <= z <= u} from the
+    final dual iterate: with g = G'y, the box-minimum of y'Gz is
+    sum_j [g_j>0] g_j l_j + [g_j<0] g_j u_j; strictly positive (and
+    finite) proves the box and the nullspace constraint incompatible.
+    Guards the heuristic INFEASIBLE statuses — a wrong one corrupts
+    phase-2 seeding (bslv_algs.c:991-999 semantics)."""
+    ynorm = np.abs(y).max()
+    if not np.isfinite(ynorm) or ynorm == 0:
+        return False
+    fin = np.concatenate([l[np.isfinite(l)], u[np.isfinite(u)], [0.0]])
+    thresh = 1e-6 * (1.0 + np.abs(fin).max())
+    for sign in (1.0, -1.0):
+        yh = sign * y / ynorm
+        g = np.concatenate([yh @ As, -yh])
+        lo = np.where(g > 0, l, np.where(g < 0, u, 0.0))
+        terms = np.where(g != 0, g * lo, 0.0)
+        if np.isfinite(terms).all() and terms.sum() > thresh:
+            return True
+    return False
+
+
+def _unbounded_ray(As, z, c_s, l, u) -> bool:
+    """Ray certificate from a diverging iterate: d = z/|z| must be an
+    approximate recession direction (G d ~ 0, feasible signs against
+    the finite bounds) that improves the objective."""
+    znorm = np.abs(z).max()
+    if not np.isfinite(znorm) or znorm == 0:
+        return False
+    d = z / znorm
+    Nc = As.shape[1]
+    if np.abs(d[:Nc] @ As.T - d[Nc:]).max() > 1e-4:
+        return False
+    if ((np.isfinite(l) & (d < -1e-4)) | (np.isfinite(u)
+                                          & (d > 1e-4))).any():
+        return False
+    return c_s @ d < -1e-6
 
 
 def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     max_iter: int = 120, dtype=np.float32,
-                    verbose: int = 0, **_ignored) -> LPResult:
+                    verbose: int = 0, polish: bool | None = None,
+                    max_chunk: int | None = None,
+                    **_ignored) -> LPResult:
     """solve_batch-compatible entry (basis/at_upper come back None).
     Extra keyword arguments accepted by the simplex backends
-    (start_basis, max_chunk, ...) are ignored — an IPM neither consumes
-    nor produces a basis."""
+    (start_basis, ...) are ignored — an IPM neither consumes nor
+    produces a basis.  The batch is chunked against an HBM budget (the
+    per-instance normal matrix + factor is 2*M*M*itemsize;
+    BENSOLVE_IPM_BYTES overrides)."""
     dtype = np.dtype(dtype).type
     sc = _scale(A, dtype)
     M, N = sc.As.shape
@@ -350,6 +505,9 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         lx = np.concatenate([lx, np.zeros((B, nf))], axis=1)
         lx[:, free_col] = 0.0
         ux = np.concatenate([ux, np.full((B, nf), np.inf)], axis=1)
+    split = (np.stack([free_col.astype(np.int32),
+                       np.arange(N, N + nf, dtype=np.int32)], axis=1)
+             if nf else np.zeros((0, 2), np.int32))
 
     c_s = np.concatenate([cx, np.zeros((B, M))], axis=1)
     l_s = np.concatenate([lx, np.asarray(row_lb) * r[None, :]], axis=1)
@@ -357,13 +515,76 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     crossed = (l_s > u_s).any(axis=1)
     l_s = np.minimum(l_s, u_s)
 
-    z, y, zl, zu, status, iters = _ipm_jit(
-        jnp.asarray(As), jnp.asarray(c_s, dtype),
-        jnp.asarray(l_s, dtype), jnp.asarray(u_s, dtype), max_iter)
-    z = np.asarray(z, np.float64)
-    y = np.asarray(y, np.float64)
-    status = np.asarray(status).copy()
-    iters = np.asarray(iters)
+    # batch chunking against an HBM budget: per instance the loop holds
+    # the (M, M) normal matrix and its Cholesky factor plus ~16 (K,)
+    # iterate/direction vectors
+    itemsize = np.dtype(dtype).itemsize
+    Nc = N + nf
+    K = Nc + M
+    budget = int(os.environ.get("BENSOLVE_IPM_BYTES", 2_000_000_000))
+    per_inst = 2 * M * M * itemsize + 16 * K * itemsize
+    chunk = max(1, min(B, budget // max(per_inst, 1)))
+    if max_chunk:
+        chunk = min(chunk, int(max_chunk))
+
+    A_dev = jnp.asarray(As)
+    split_dev = jnp.asarray(split)
+    outs = []
+    for s0 in range(0, B, chunk):
+        sl = slice(s0, min(s0 + chunk, B))
+        if verbose >= 2:
+            print(f"lp_solve[ipm]: solving chunk {s0}..{sl.stop} "
+                  f"of {B} (M={M} N={Nc})", flush=True)
+        outs.append(_ipm_jit(A_dev, jnp.asarray(c_s[sl], dtype),
+                             jnp.asarray(l_s[sl], dtype),
+                             jnp.asarray(u_s[sl], dtype),
+                             split_dev, max_iter))
+    z = np.concatenate([np.asarray(o[0], np.float64) for o in outs])
+    y = np.concatenate([np.asarray(o[1], np.float64) for o in outs])
+    zl = np.concatenate([np.asarray(o[2], np.float64) for o in outs])
+    zu = np.concatenate([np.asarray(o[3], np.float64) for o in outs])
+    status = np.concatenate([np.asarray(o[4]) for o in outs]).astype(
+        np.int32)
+    iters = np.concatenate([np.asarray(o[5]) for o in outs]).astype(
+        np.int32)
+
+    # host-side classification + polish (f64).  Polish every instance
+    # that is OPTIMAL or still running, within a cost gate; still-
+    # running instances that polish clean become OPTIMAL, the rest get
+    # certificate-checked (Farkas / ray) before any INFEASIBLE or
+    # UNBOUNDED verdict — heuristics alone misclassified the feasible
+    # P2 template in round 3.
+    As64 = np.asarray(As, np.float64)
+    do_polish = polish if polish is not None else (M <= 1500)
+    for i in range(B):
+        if crossed[i]:
+            continue
+        st = int(status[i])
+        if st in (OPTIMAL, -1) and do_polish:
+            zp, yp, ok = _polish_one(As64, z[i], y[i], zl[i], zu[i],
+                                     l_s[i], u_s[i], c_s[i])
+            if ok:
+                z[i], y[i] = zp, yp
+                status[i] = OPTIMAL
+                continue
+        if st == -1:
+            # classify leftovers: certificate or ITLIM
+            if _farkas_infeasible(As64, y[i], l_s[i], u_s[i]):
+                status[i] = INFEASIBLE
+            elif _unbounded_ray(As64, z[i], c_s[i], l_s[i], u_s[i]):
+                status[i] = UNBOUNDED
+            else:
+                status[i] = ITLIM
+        elif st == INFEASIBLE and not _farkas_infeasible(
+                As64, y[i], l_s[i], u_s[i]):
+            # downgrade uncertified heuristic verdicts
+            if _unbounded_ray(As64, z[i], c_s[i], l_s[i], u_s[i]):
+                status[i] = UNBOUNDED
+            else:
+                status[i] = ITLIM
+        elif st == UNBOUNDED and not _unbounded_ray(
+                As64, z[i], c_s[i], l_s[i], u_s[i]):
+            status[i] = ITLIM
 
     xs = z[:, :N]
     if nf:
