@@ -104,18 +104,30 @@ def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
     best = min(times)
 
     # Benson re-solve pattern: keep objectives, tighten row bounds a
-    # little, warm-start from an optimal basis of the previous solve
+    # little, warm-start from an optimal basis of the previous solve.
+    # Measured through the PRODUCTION warm route — the dual simplex
+    # from the parent basis (bound changes keep it dual feasible,
+    # lp/dual_simplex.py; templates._use_dual_warm), not the Pallas
+    # shared-basis start that round 3 measured as a pivot LOSS.
     warm_pivots = None
     ok = np.flatnonzero(res.status == simplex.OPTIMAL)
     if ok.size and res.basis is not None:
+        from bensolve_tpu.lp.dual_simplex import solve_batch_dual
+
         warm = (res.basis[int(ok[0])], res.at_upper[int(ok[0])])
         rub2 = (row_ub * 0.98).astype(row_ub.dtype)
-        wres = solve(c * 1.03, rub2, warm=warm)   # compile (new shape set)
+
+        def wsolve(cc):
+            return solve_batch_dual(A, cc, row_lb, rub2, col_lb,
+                                    col_ub, start_basis=warm,
+                                    dtype=dtype, max_chunk=B)
+
+        wres = wsolve(c)                  # compile (new shape set)
         t0 = time.perf_counter()
-        wres = solve(c * 1.031, rub2, warm=warm)
+        wres = wsolve(c * 1.001)
         warm_time = time.perf_counter() - t0
         warm_pivots = float(wres.iters.mean())
-        print(f"# warm re-solve: {B / warm_time:.0f} LP/s, "
+        print(f"# warm re-solve (dual simplex): {B / warm_time:.0f} LP/s, "
               f"pivots/LP {warm_pivots:.1f} (cold {cold_pivots:.1f})",
               file=sys.stderr)
     return B / best, n_opt, compile_s, cold_pivots, warm_pivots

@@ -114,7 +114,8 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     m = vlp.m
     t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase0, mesh=opt.build_mesh())
+                    lp_method=opt.lp_method_phase0, mesh=opt.build_mesh(),
+                    max_batch=opt.lp_max_batch)
 
     if opt.message_level >= 3:
         print("solve lp")   # bslv_algs.c:685
@@ -193,7 +194,8 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase1, mesh=opt.build_mesh())
+                    lp_method=opt.lp_method_phase1, mesh=opt.build_mesh(),
+                    max_batch=opt.lp_max_batch)
     p = sol.p
 
     if resume_pair is not None:
@@ -418,7 +420,8 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     pre = opt.solution
     t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase2, mesh=opt.build_mesh())
+                    lp_method=opt.lp_method_phase2, mesh=opt.build_mesh(),
+                    max_batch=opt.lp_max_batch)
     r = sol.r
 
     if resume_pair is not None:
@@ -502,7 +505,8 @@ def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     q = sol.q
     t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype,
                     lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase1, mesh=opt.build_mesh())
+                    lp_method=opt.lp_method_phase1, mesh=opt.build_mesh(),
+                    max_batch=opt.lp_max_batch)
 
     if resume_pair is not None:
         pair = resume_pair
@@ -676,7 +680,8 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     pre = opt.solution
     t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
-                    lp_method=opt.lp_method_phase2, mesh=opt.build_mesh())
+                    lp_method=opt.lp_method_phase2, mesh=opt.build_mesh(),
+                    max_batch=opt.lp_max_batch)
 
     if resume_pair is not None:
         pair = resume_pair

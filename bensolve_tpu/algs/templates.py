@@ -39,8 +39,12 @@ INHOMOGENEOUS = False
 class _TemplateBase:
     def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
-                 lp_method: str = "auto", mesh=None):
+                 lp_method: str = "auto", mesh=None,
+                 max_batch: int | None = None):
         self.dtype = np.dtype(dtype).type
+        # Options.lp_max_batch: hard cap on LPs per device round; the
+        # backends' own memory-budget chunking still applies below it
+        self.max_batch = max_batch
         # multi-chip mesh for the LP solves (Options.mesh_axes): "dp"
         # shards the candidate batch, "tp" the within-LP linear algebra
         self.mesh = mesh
@@ -64,10 +68,57 @@ class _TemplateBase:
         # batched analogue of GLPK's in-place warm start)
         self._warm = None
 
+    def _use_dual_warm(self, warm) -> bool:
+        """True when a warm re-solve should route through the DUAL
+        simplex: this template's per-candidate data enters as row
+        bounds (P2), so a parent optimal basis stays dual feasible and
+        the dual simplex walks back to optimality in a handful of
+        pivots (bslv_lp.c:31's carried-basis strategy, done right for
+        the batched setting).  P1 re-solves change the objective
+        instead — there the basis stays PRIMAL feasible and the primal
+        warm start is already correct.  Gated to tableau-sized shapes
+        (the dual solver carries a (B, M, M+N) tableau) and single-chip
+        runs; BENSOLVE_NO_DUAL_WARM=1 opts out for A/B measurement."""
+        import os
+
+        from bensolve_tpu.lp import revised
+
+        if warm is None or self.mesh is not None:
+            return False
+        if not getattr(self, "_bound_change_resolve", False):
+            return False
+        if os.environ.get("BENSOLVE_NO_DUAL_WARM") == "1":
+            return False
+        M, N = self.A_lp.shape
+        return N < revised.REVISED_RATIO * M
+
     def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub,
              start_basis=None) -> LPResult:
+        B = np.atleast_2d(obj).shape[0]
+        if self.max_batch and B > self.max_batch:
+            import dataclasses
+
+            from bensolve_tpu.lp.simplex import _slice_warm
+
+            parts = []
+            for s in range(0, B, self.max_batch):
+                sl = slice(s, min(s + self.max_batch, B))
+                parts.append(self._run(
+                    A_lp, np.atleast_2d(obj)[sl], row_lb[sl], row_ub[sl],
+                    col_lb[sl], col_ub[sl],
+                    start_basis=_slice_warm(start_basis, sl)))
+            return LPResult(*(np.concatenate(
+                [getattr(p, f.name) for p in parts])
+                if getattr(parts[0], f.name) is not None else None
+                for f in dataclasses.fields(LPResult)))
         warm = start_basis if start_basis is not None else self._warm
         if self.lp_method in ("dual_simplex", "dual_primal_simplex"):
+            from bensolve_tpu.lp.dual_simplex import solve_batch_dual
+
+            res = solve_batch_dual(A_lp, obj, row_lb, row_ub, col_lb,
+                                   col_ub, start_basis=warm,
+                                   dtype=self.dtype)
+        elif self.lp_method == "auto" and self._use_dual_warm(warm):
             from bensolve_tpu.lp.dual_simplex import solve_batch_dual
 
             res = solve_batch_dual(A_lp, obj, row_lb, row_ub, col_lb,
@@ -94,9 +145,14 @@ class _TemplateBase:
     def prefers_shared_warm(self) -> bool:
         """True when per-candidate (B, M) warm bases would knock the
         batch off its best backend: the Pallas kernel only takes a
-        shared basis (it broadcasts ONE starting tableau into VMEM)."""
+        shared basis (it broadcasts ONE starting tableau into VMEM).
+        When the dual-simplex warm re-solve route applies, per-candidate
+        parent bases are strictly better (each instance restarts dual
+        feasible), so shared mode is never preferred."""
         from bensolve_tpu.lp import _pallas_eligible
 
+        if self._use_dual_warm(warm=True):
+            return False
         M, N = self.A_lp.shape
         return _pallas_eligible(M, N, {"dtype": self.dtype})
 
@@ -115,11 +171,16 @@ class _TemplateBase:
 
 
 class P2Template(_TemplateBase):
+    # per-candidate data is ROW BOUNDS (ZR'v): a parent basis stays
+    # dual feasible across re-solves -> dual-simplex warm route
+    _bound_change_resolve = True
+
     def __init__(self, vlp, P_eff, ZR: np.ndarray, eta: np.ndarray,
                  homogeneous: bool, dtype=np.float64, lp_verbose: int = 0,
-                 lp_method: str = "auto", mesh=None):
+                 lp_method: str = "auto", mesh=None,
+                 max_batch: int | None = None):
         super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
-                         lp_method, mesh)
+                         lp_method, mesh, max_batch)
         m, n, q = self.m, self.n, self.q
         ZR = np.asarray(ZR, float)
         self.p = ZR.shape[1]
@@ -198,9 +259,10 @@ class P2Template(_TemplateBase):
 class P1Template(_TemplateBase):
     def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
-                 lp_method: str = "auto", mesh=None):
+                 lp_method: str = "auto", mesh=None,
+                 max_batch: int | None = None):
         super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
-                         lp_method, mesh)
+                         lp_method, mesh, max_batch)
         m, n, q = self.m, self.n, self.q
         A_lp = self._alloc_lp_matrix(1, 0)       # (m+q+1, n+q)
         A_lp[m + q, n:n + q] = np.asarray(eta, float)

@@ -139,13 +139,23 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
     has_u = jnp.isfinite(u)
     fixed = has_l & has_u & (u - l <= 0)
     nb = jnp.maximum(has_l.sum(axis=1) + has_u.sum(axis=1), 1)  # (B,)
+    # On TPU an f32 matmul runs at bf16 input precision by default
+    # (~8 mantissa bits) — the normal matrix then floors the Newton
+    # accuracy around 1e-3 and f32 solves ITLIM-stall at scale.
+    # Default to full-f32 passes; BENSOLVE_IPM_PRECISION overrides
+    # (default|high|highest) for speed/accuracy measurement.
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[
+        os.environ.get("BENSOLVE_IPM_PRECISION", "highest")]
 
     def Gz(z):
         x, s = z[:, :N], z[:, N:]
-        return x @ A.T - s
+        return jnp.matmul(x, A.T, precision=prec) - s
 
     def GTy(y):
-        return jnp.concatenate([y @ A, -y], axis=1)
+        return jnp.concatenate([jnp.matmul(y, A, precision=prec), -y],
+                               axis=1)
 
     # start: midpoint of finite bounds, unit barrier slacks
     z0 = jnp.where(fixed, l,
@@ -180,7 +190,7 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         # (at ex09 scale a vmapped build would materialize B x 680 MB)
         def build_S(d):
             W = A * jnp.sqrt(d[:N])[None, :]
-            S = W @ W.T
+            S = jnp.matmul(W, W.T, precision=prec)
             # trace-relative shift: keeps S positive definite through
             # structural rank deficiency (fixed slacks zero whole rows)
             delta = reg_d * (jnp.mean(jnp.diagonal(S)) + 1.0)
@@ -600,7 +610,17 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     status[crossed] = INFEASIBLE
     if verbose >= 2:
         counts = dict(zip(*np.unique(status, return_counts=True)))
+        # final KKT diagnostics in f64 (one matvec per instance) — the
+        # observability VERDICT r3 asked for on the ex09 path
+        act = z[:, :Nc] @ As64.T - z[:, Nc:]
+        pinf = np.abs(act).max(axis=1) / (1.0 + np.abs(z).max(axis=1))
+        rd = (c_s - np.concatenate([y @ As64, -y], axis=1)
+              - np.asarray(zl) + np.asarray(zu))
+        dinf = np.abs(np.where(l_s >= u_s, 0.0, rd)).max(axis=1) / (
+            1.0 + np.abs(c_s).max())
         print(f"lp_solve[ipm]: batch={B} statuses={counts} "
-              f"iters max={int(iters.max())}", flush=True)
+              f"iters max={int(iters.max())} "
+              f"pinf max={pinf.max():.2e} dinf max={dinf.max():.2e}",
+              flush=True)
     return LPResult(status, obj, x, s, row_dual, col_dual,
                     iters, None, None)

@@ -496,13 +496,19 @@ def _revised_start_warm_jit(A, c, lb, ub, basis0, at_upper0, Brows0,
                            ssharding)
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "max_iter"))
+@functools.partial(jax.jit, static_argnames=("seg",))
 def _revised_run_jit(A, AT, c, lb, ub, st, seg, max_iter):
     """Advance the pivot loop by at most ``seg`` steps.  Bounding the
     per-program step count keeps each device program short: a single
     multi-minute XLA execution trips remote-runtime watchdogs (observed:
     the ex09 cold solve in one program crashes the TPU worker), and the
-    host sees progress (step/status) between segments for free."""
+    host sees progress (step/status) between segments for free.
+
+    ``max_iter`` is TRACED (it only feeds a jnp.minimum): the
+    anti-degeneracy stage 2 derives its cleanup cap from the
+    data-dependent stage-1 exit step, and a static cap would retrace
+    the whole pivot kernel on nearly every cold solve (round-3 advisor
+    finding; ~80 s per compile on the remote-TPU backend)."""
     every = _refactor_interval(A.shape[0], c.shape[1], c.dtype)
     seg_end = jnp.minimum(st.step + seg, max_iter)
 

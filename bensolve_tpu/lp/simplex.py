@@ -615,7 +615,11 @@ def _slice_warm(start_basis, sl):
 
 def _pad_warm(start_basis, Mp, NTp, B, Bp):
     """Normalize a warm start to jit inputs: (basis, at_upper) arrays,
-    per-instance rows padded to the bucketed batch by replicating row 0."""
+    per-instance rows padded to the bucketed batch by replicating row 0.
+    A wider at_upper (the Pallas kernel lane-pads NT to 128) is
+    truncated: real variables share the same numbering (rows then
+    structurals at offset Mp) in every backend, and the kernel's extra
+    padded columns are fixed at 0 so they never enter a basis."""
     if isinstance(start_basis, tuple):
         b0, u0 = start_basis
     else:
@@ -624,6 +628,8 @@ def _pad_warm(start_basis, Mp, NTp, B, Bp):
     if u0 is None:
         u0 = np.zeros(NTp if b0.ndim == 1 else (b0.shape[0], NTp), bool)
     u0 = np.asarray(u0, bool)
+    if u0.shape[-1] > NTp:
+        u0 = u0[..., :NTp]
     if b0.ndim == 2:
         if b0.shape[0] < Bp:
             b0 = np.concatenate(

