@@ -113,6 +113,16 @@ def _count(sol, pair, swap: bool) -> None:
     sol.dd_dir = int(lo_ideal.sum())
 
 
+def _ensure_compile_cache() -> None:
+    """Persistent compilation cache (see lp.ensure_compile_cache):
+    without it every fresh process pays minutes-long remote compiles —
+    exactly the round-3 'solver prints nothing for 10 minutes' failure
+    mode."""
+    from bensolve_tpu.lp import ensure_compile_cache
+
+    ensure_compile_cache()
+
+
 def solve(vlp: VLPProblem, opt: Options | None = None,
           resume: str | None = None) -> VLPSolution:
     """Solve a VLP.  Pure computation — no files are written; see
@@ -123,6 +133,7 @@ def solve(vlp: VLPProblem, opt: Options | None = None,
     skipped and the main loop continues from the stored outer
     approximation."""
     opt = opt if opt is not None else Options()
+    _ensure_compile_cache()
     if opt.profile_dir:
         # device-level tracing (the reference's only instrumentation is
         # wall-clock + LP count, bslv_main.c:389-390; see SURVEY.md §5)

@@ -110,6 +110,8 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     """Compute eta in int(D* + K) with eta'c == 1 via a short serial
     sequence of P2-homogeneous probes (reference bslv_algs.c:673-800).
     Sets sol.eta, or sol.status to UNBOUNDED / NOVERTEX."""
+    import time as _time
+
     q = sol.q
     m = vlp.m
     t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
@@ -117,10 +119,20 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
                     lp_method=opt.lp_method_phase0, mesh=opt.build_mesh(),
                     max_batch=opt.lp_max_batch)
 
+    # per-probe wall-clock at -m 2 (VERDICT r3 weak #4: a stalled huge
+    # instance printed nothing between parse and kill — phase 0's q-1
+    # serial probes were unobservable)
+    def _log(what, t0):
+        if opt.message_level >= 2:
+            print(f"phase0: {what} done in {_time.perf_counter()-t0:.1f}s",
+                  flush=True)
+
     if opt.message_level >= 3:
         print("solve lp")   # bslv_algs.c:685
+    t0 = _time.perf_counter()
     res = t2.solve(np.zeros((1, sol.p)))
     stats.lps += 1
+    _log("seed LP (incl. compile)", t0)
     if res.status[0] == simplex.UNBOUNDED:
         sol.status = SolStatus.UNBOUNDED
         return
@@ -132,13 +144,17 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     for i in range(q - 1):
         orthogonal_vector(C, i)
         ub = (C[:, i] @ sol.Z[: q - 1, :])[None, :]   # (1, p)
+        t0 = _time.perf_counter()
         res = t2.solve(ub)
         stats.lps += 1
+        _log(f"probe {i + 1}/{q - 1}", t0)
         _check_all_optimal(res, "phase0 probe")
         V[:, i] = res.row_dual[0, m:m + q - 1] - z
         if abs(C[:, i] @ V[:, i]) < opt.eps_phase0:
+            t0 = _time.perf_counter()
             res = t2.solve(-ub)
             stats.lps += 1
+            _log(f"probe {i + 1}/{q - 1} (flipped)", t0)
             _check_all_optimal(res, "phase0 probe (flipped)")
             V[:, i] = res.row_dual[0, m:m + q - 1] - z
         if abs(C[:, i] @ V[:, i]) < opt.eps_phase0:

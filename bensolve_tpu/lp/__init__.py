@@ -54,6 +54,26 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
                                mesh=mesh, **kw)
 
 
+def ensure_compile_cache() -> None:
+    """Enable jax's persistent compilation cache unless one is already
+    configured: a single large-program compile takes minutes on the
+    remote-compilation TPU backend (measured 552 s for the ex09-scale
+    IPM loop), and every entry point — CLI, library, direct backend
+    calls — must hit the same cache.  BENSOLVE_CACHE_DIR overrides the
+    location; set it empty to disable."""
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.environ.get("BENSOLVE_CACHE_DIR", "/tmp/jax_cache")
+    if not path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def _ipm_min_size() -> int:
     """M+N above which solve_batch_auto routes to the interior-point
     backend.  Opt-in: the route is DISABLED unless BENSOLVE_IPM_MIN is

@@ -142,12 +142,13 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
     # On TPU an f32 matmul runs at bf16 input precision by default
     # (~8 mantissa bits) — the normal matrix then floors the Newton
     # accuracy around 1e-3 and f32 solves ITLIM-stall at scale.
-    # Default to full-f32 passes; BENSOLVE_IPM_PRECISION overrides
-    # (default|high|highest) for speed/accuracy measurement.
+    # Default to bf16x3 passes ("high", ~f32-grade dot products at
+    # +50% matmul cost — measured 53 ms vs 36 ms per ex09-scale S
+    # build); BENSOLVE_IPM_PRECISION overrides (default|high|highest).
     prec = {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST}[
-        os.environ.get("BENSOLVE_IPM_PRECISION", "highest")]
+        os.environ.get("BENSOLVE_IPM_PRECISION", "high")]
 
     def Gz(z):
         x, s = z[:, :N], z[:, N:]
@@ -194,11 +195,32 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
             # trace-relative shift: keeps S positive definite through
             # structural rank deficiency (fixed slacks zero whole rows)
             delta = reg_d * (jnp.mean(jnp.diagonal(S)) + 1.0)
-            return S + jnp.diag(d[N:] + delta)
+            return S + jnp.diag(d[N:] + delta), delta
 
-        S = jax.lax.map(build_S, D)                             # (B, M, M)
+        S, delta = jax.lax.map(build_S, D)                      # (B, M, M)
         L = jax.vmap(jnp.linalg.cholesky)(S)
         chol_ok = jnp.all(jnp.isfinite(L[:, -1, :]), axis=1)    # (B,)
+
+        def _retry_chol(args):
+            # escalating regularization: near convergence the barrier
+            # weights spread over ~12 decades and the f32 factorization
+            # can go NaN (observed at ex09 scale, iteration 11 of a
+            # cleanly converging run) — a 1e4x, then 1e8x, diagonal
+            # boost recovers a usable (slightly damped) Newton step
+            # instead of freezing the instance at ITLIM
+            L, S, ok = args
+            eye = jnp.eye(M, dtype=S.dtype)
+            for boost in (1e4, 1e8):
+                S_b = S + (boost * delta)[:, None, None] * eye[None]
+                L_b = jax.vmap(jnp.linalg.cholesky)(S_b)
+                ok_b = jnp.all(jnp.isfinite(L_b[:, -1, :]), axis=1)
+                take = (~ok & ok_b)[:, None, None]
+                L = jnp.where(take, L_b, L)
+                ok = ok | ok_b
+            return L, S, ok
+
+        L, _, chol_ok = jax.lax.cond(
+            jnp.all(chol_ok), lambda a: a, _retry_chol, (L, S, chol_ok))
 
         def solve_dir(r_cl, r_cu):
             rhat = (r_d - jnp.where(has_l & ~fixed, r_cl / p, 0.0)
@@ -537,18 +559,35 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     if max_chunk:
         chunk = min(chunk, int(max_chunk))
 
+    from bensolve_tpu.lp import ensure_compile_cache
+
+    ensure_compile_cache()
     A_dev = jnp.asarray(As)
     split_dev = jnp.asarray(split)
     outs = []
     for s0 in range(0, B, chunk):
         sl = slice(s0, min(s0 + chunk, B))
+        Bc = sl.stop - s0
+        # bucket the chunk batch to a power of two (pad by repeating
+        # row 0) so varying Benson frontier sizes reuse ONE compiled
+        # program — a fresh ex09-scale compile costs ~10 minutes on the
+        # remote-compilation backend
+        Bp = 1 << (Bc - 1).bit_length()
+        pad = Bp - Bc
+
+        def _pad(a):
+            a = a[sl]
+            if pad:
+                a = np.concatenate([a, np.broadcast_to(a[:1],
+                                                       (pad,) + a.shape[1:])])
+            return jnp.asarray(a, dtype)
+
         if verbose >= 2:
             print(f"lp_solve[ipm]: solving chunk {s0}..{sl.stop} "
-                  f"of {B} (M={M} N={Nc})", flush=True)
-        outs.append(_ipm_jit(A_dev, jnp.asarray(c_s[sl], dtype),
-                             jnp.asarray(l_s[sl], dtype),
-                             jnp.asarray(u_s[sl], dtype),
-                             split_dev, max_iter))
+                  f"of {B} (M={M} N={Nc} padded_batch={Bp})", flush=True)
+        out = _ipm_jit(A_dev, _pad(c_s), _pad(l_s), _pad(u_s),
+                       split_dev, max_iter)
+        outs.append(tuple(o[:Bc] for o in out))
     z = np.concatenate([np.asarray(o[0], np.float64) for o in outs])
     y = np.concatenate([np.asarray(o[1], np.float64) for o in outs])
     zl = np.concatenate([np.asarray(o[2], np.float64) for o in outs])
