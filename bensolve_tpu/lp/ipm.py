@@ -158,13 +158,17 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         return jnp.concatenate([jnp.matmul(y, A, precision=prec), -y],
                                axis=1)
 
-    # start: midpoint of finite bounds, unit barrier slacks
+    # start: midpoint of finite bounds, EXACT initial barrier distances.
+    # (Flooring p0/w0 at 1.0 while the true distance is smaller let the
+    # first step's ratio test push iterates OUTSIDE narrow boxes — and
+    # with no bound-feasibility term in the convergence test, an
+    # infeasible LP could then converge to a false OPTIMAL.)
     z0 = jnp.where(fixed, l,
                    jnp.where(has_l & has_u, 0.5 * (l + u),
                              jnp.where(has_l, l + 1.0,
                                        jnp.where(has_u, u - 1.0, 0.0))))
-    p0 = jnp.where(has_l & ~fixed, jnp.maximum(z0 - l, 1.0), 1.0)
-    w0 = jnp.where(has_u & ~fixed, jnp.maximum(u - z0, 1.0), 1.0)
+    p0 = jnp.where(has_l & ~fixed, jnp.maximum(z0 - l, 1e-12), 1.0)
+    w0 = jnp.where(has_u & ~fixed, jnp.maximum(u - z0, 1e-12), 1.0)
     zl0 = jnp.where(has_l & ~fixed, 1.0, 0.0).astype(dtype)
     zu0 = jnp.where(has_u & ~fixed, 1.0, 0.0).astype(dtype)
     y0 = jnp.zeros((B, M), dtype)
@@ -202,22 +206,21 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         chol_ok = jnp.all(jnp.isfinite(L[:, -1, :]), axis=1)    # (B,)
 
         def _retry_chol(args):
-            # escalating regularization: near convergence the barrier
-            # weights spread over ~12 decades and the f32 factorization
-            # can go NaN (observed at ex09 scale, iteration 11 of a
-            # cleanly converging run) — a 1e4x, then 1e8x, diagonal
-            # boost recovers a usable (slightly damped) Newton step
-            # instead of freezing the instance at ITLIM
+            # one modest (1e4x) regularization boost: near convergence
+            # the barrier weights spread over ~12 decades and the f32
+            # factorization can go NaN (observed at ex09 scale,
+            # iteration 11 of a cleanly converging run).  A stronger
+            # boost is counterproductive — the mega-damped steps stop
+            # tracking the central path and the iterate drifts (probe:
+            # pinf grew from 1e-3 to 0.5); instances that still fail
+            # are salvage-accepted or ITLIMed below instead.
             L, S, ok = args
             eye = jnp.eye(M, dtype=S.dtype)
-            for boost in (1e4, 1e8):
-                S_b = S + (boost * delta)[:, None, None] * eye[None]
-                L_b = jax.vmap(jnp.linalg.cholesky)(S_b)
-                ok_b = jnp.all(jnp.isfinite(L_b[:, -1, :]), axis=1)
-                take = (~ok & ok_b)[:, None, None]
-                L = jnp.where(take, L_b, L)
-                ok = ok | ok_b
-            return L, S, ok
+            S_b = S + (1e4 * delta)[:, None, None] * eye[None]
+            L_b = jax.vmap(jnp.linalg.cholesky)(S_b)
+            ok_b = jnp.all(jnp.isfinite(L_b[:, -1, :]), axis=1)
+            take = (~ok & ok_b)[:, None, None]
+            return jnp.where(take, L_b, L), S, ok | ok_b
 
         L, _, chol_ok = jax.lax.cond(
             jnp.all(chol_ok), lambda a: a, _retry_chol, (L, S, chol_ok))
@@ -279,6 +282,11 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         y_n = jnp.where(upd, y + a_d * dy, y)
         zl_n = jnp.where(upd, jnp.maximum(zl + a_d * dzl, 0.0), zl)
         zu_n = jnp.where(upd, jnp.maximum(zu + a_d * dzu, 0.0), zu)
+        # hard projection into the box: the damped ratio test keeps
+        # iterates interior up to round-off; the clip makes the
+        # z <-> (p, w) invariant exact so bound feasibility can never
+        # silently drift (false-OPTIMAL-on-infeasible guard)
+        z_n = jnp.where(fixed, l, jnp.clip(z_n, l, u))
         p_n = jnp.where(has_l & ~fixed, z_n - l, 1.0)
         w_n = jnp.where(has_u & ~fixed, u - z_n, 1.0)
         # keep barrier slacks strictly positive (f32 round-off)
@@ -327,12 +335,21 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         diverged = settled & ((znorm > div) | (dual_norm > div))
         unbounded = diverged & (pinf < jnp.sqrt(tol))
         infeasible = diverged & ~unbounded
+        # factorization/direction failure: the instance cannot advance
+        # (its iterate was NOT updated this step).  Near convergence
+        # that is the f32 endgame — salvage-accept the pre-failure
+        # iterate when its KKT residuals are already at the loose
+        # (100x) thresholds, else give up with ITLIM
         bad_step = settled & ~(chol_ok & dir_ok)
+        salvage = ((pinf < 100 * tol) & (dinf < 100 * tol)
+                   & (gap < 100 * tol))
         status_n = jnp.where(
             running & converged, OPTIMAL,
             jnp.where(running & unbounded, UNBOUNDED,
                       jnp.where(running & infeasible, INFEASIBLE,
-                                jnp.where(running & bad_step, ITLIM,
+                                jnp.where(running & bad_step,
+                                          jnp.where(salvage, OPTIMAL,
+                                                    ITLIM),
                                           status))))
         it_n = it + running.astype(jnp.int32)
         return (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
@@ -558,6 +575,9 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     chunk = max(1, min(B, budget // max(per_inst, 1)))
     if max_chunk:
         chunk = min(chunk, int(max_chunk))
+    # floor to a power of two so the bucketed batch never pads past
+    # the memory budget
+    chunk = 1 << (chunk.bit_length() - 1)
 
     from bensolve_tpu.lp import ensure_compile_cache
 
@@ -647,6 +667,34 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         A.host if hasattr(A, "host") else A, np.float64)
     obj = np.einsum("bn,bn->b", c2, x)
     status[crossed] = INFEASIBLE
+
+    # authoritative fallback: instances the IPM could not resolve
+    # (ITLIM, no certificate, polish failed) are re-solved by the f64
+    # simplex family when the shape is simplex-tractable.  This makes
+    # the IPM route exact everywhere except truly huge instances,
+    # where the caller accepted f32-grade tolerances to begin with.
+    fb_gate = int(os.environ.get("BENSOLVE_IPM_FALLBACK_M", "2000"))
+    fb = np.flatnonzero(status == ITLIM)
+    if fb.size and M <= fb_gate:
+        from bensolve_tpu.lp import simplex as _sx
+        from bensolve_tpu.lp import revised as _rv
+
+        solver = (_rv.solve_batch_revised
+                  if N > _rv.REVISED_RATIO * M else _sx.solve_batch)
+        if verbose >= 2:
+            print(f"lp_solve[ipm]: {fb.size} unresolved -> simplex "
+                  "fallback", flush=True)
+        res_fb = solver(A, c2[fb], np.asarray(row_lb)[fb],
+                        np.asarray(row_ub)[fb], np.asarray(col_lb)[fb],
+                        np.asarray(col_ub)[fb], dtype=np.float64)
+        status[fb] = res_fb.status
+        obj[fb] = res_fb.obj
+        x[fb] = res_fb.x
+        s[fb] = res_fb.s
+        row_dual[fb] = res_fb.row_dual
+        col_dual[fb] = res_fb.col_dual
+        iters[fb] += res_fb.iters
+
     if verbose >= 2:
         counts = dict(zip(*np.unique(status, return_counts=True)))
         # final KKT diagnostics in f64 (one matvec per instance) — the

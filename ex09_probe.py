@@ -1,11 +1,17 @@
 """ex09 probe: solve the largest reference instance on the real TPU.
 
 Run with ambient env (JAX_PLATFORMS=axon).  Flags mirror the reference
-recommendation (/root/reference/ex/example09.m:10): -e 1e-2, primal
-simplex, f32 arithmetic.
+recommendation (/root/reference/ex/example09.m:10): -e 1e-2, f32
+arithmetic.  The scalar LPs route through the MXU-native IPM backend
+(simplex variants are pivot-count-bound on the TPU runtime); the
+persistent compile cache makes repeat runs start fast.
 """
+import os
 import sys
 import time
+
+os.environ.setdefault("BENSOLVE_IPM_MIN", "2000")
+os.environ.setdefault("BENSOLVE_IPM_BYTES", "6000000000")
 
 from bensolve_tpu.algs.driver import solve
 from bensolve_tpu.vlp.options import Options

@@ -119,6 +119,45 @@ def test_ipm_crossed_bounds():
     assert res.status[0] == simplex.INFEASIBLE
 
 
+def test_ipm_e2e_driver_route(monkeypatch):
+    """Force EVERY Benson LP through the IPM route (BENSOLVE_IPM_MIN=1)
+    and require the same epsilon-solution as the simplex route on
+    ex05/ex08/ex11 — the integration the round-3 default routing broke
+    (wrong duals at scale corrupt cut construction silently)."""
+    from bensolve_tpu.algs.driver import solve
+    from bensolve_tpu.algs.solution import SolStatus
+    from bensolve_tpu.vlp.options import Options
+    from bensolve_tpu.vlp.reader import read_vlp
+
+    for ex in ("ex05", "ex08", "ex11"):
+        vlp = read_vlp(f"/root/reference/ex/{ex}.vlp")
+        monkeypatch.delenv("BENSOLVE_IPM_MIN", raising=False)
+        r_s = solve(vlp, Options(write_files=False))
+        monkeypatch.setenv("BENSOLVE_IPM_MIN", "1")
+        r_i = solve(vlp, Options(write_files=False))
+        monkeypatch.delenv("BENSOLVE_IPM_MIN")
+        assert r_i.status is SolStatus.OPTIMAL, ex
+        got_s = sorted(map(tuple, np.round(r_s.primal_points, 5)))
+        got_i = sorted(map(tuple, np.round(r_i.primal_points, 5)))
+        assert got_s == got_i, (ex, got_s, got_i)
+
+
+def test_ipm_e2e_status_examples(monkeypatch):
+    """Status classification through the driver on the IPM route:
+    infeasible / totally-unbounded examples must keep their reference
+    verdicts (bslv_main.c:272-287) when the oracle is the IPM."""
+    from bensolve_tpu.algs.driver import solve
+    from bensolve_tpu.algs.solution import SolStatus
+    from bensolve_tpu.vlp.options import Options
+    from bensolve_tpu.vlp.reader import read_vlp
+
+    monkeypatch.setenv("BENSOLVE_IPM_MIN", "1")
+    assert solve(read_vlp("/root/reference/ex/ex02.vlp"),
+                 Options(write_files=False)).status is SolStatus.INFEASIBLE
+    assert solve(read_vlp("/root/reference/ex/ex04.vlp"),
+                 Options(write_files=False)).status is SolStatus.UNBOUNDED
+
+
 def test_ipm_p2_template_shape():
     """The Benson oracle's own LP shape (P2 template on a random VLP):
     primal/dual values feed cut construction, so the duals must agree
