@@ -352,6 +352,15 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
                                                     ITLIM),
                                           status))))
         it_n = it + running.astype(jnp.int32)
+        if os.environ.get("BENSOLVE_IPM_TRACE") == "1":
+            # per-iteration trace of instance 0 (static env gate — only
+            # traced-in when requested; used to diagnose stalls at
+            # scales where host-side re-runs are impractical)
+            jax.debug.print(
+                "ipm it={i} mu={m:.3e} pinf={p:.3e} dinf={d:.3e} "
+                "gap={g:.3e} ap={a:.3f} ad={b:.3f} sigma={s:.3f}",
+                i=it[0], m=mu_n[0], p=pinf[0], d=dinf[0], g=gap[0],
+                a=a_p[0, 0], b=a_d[0, 0], s=sigma[0])
         return (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
                 noimp_n)
 
@@ -605,8 +614,17 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         if verbose >= 2:
             print(f"lp_solve[ipm]: solving chunk {s0}..{sl.stop} "
                   f"of {B} (M={M} N={Nc} padded_batch={Bp})", flush=True)
-        out = _ipm_jit(A_dev, _pad(c_s), _pad(l_s), _pad(u_s),
-                       split_dev, max_iter)
+        # On TPU the Cholesky / triangular-solve decompositions lower
+        # to INTERNAL matmuls that honor the global default matmul
+        # precision (bf16!) — the explicit precision= on our own
+        # matmuls does not reach them.  Full-precision passes inside
+        # the solve keep the Newton directions f32-grade.
+        import jax as _jax
+
+        mm = os.environ.get("BENSOLVE_IPM_MM_PREC", "highest")
+        with _jax.default_matmul_precision(mm):
+            out = _ipm_jit(A_dev, _pad(c_s), _pad(l_s), _pad(u_s),
+                           split_dev, max_iter)
         outs.append(tuple(o[:Bc] for o in out))
     z = np.concatenate([np.asarray(o[0], np.float64) for o in outs])
     y = np.concatenate([np.asarray(o[1], np.float64) for o in outs])
