@@ -321,8 +321,15 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         # stall acceptance must bound the duality gap too — residuals
         # alone let a stalled solve return OPTIMAL with an arbitrarily
         # large objective error (round-3 advisor finding)
+        # drift guard: a slowly diverging (unbounded/infeasible)
+        # instance can keep residuals modest while the iterate or the
+        # multipliers walk off — loose acceptances require both to be
+        # far from the divergence threshold (observed: an unbounded
+        # row-subsampled ex09 seed stall-accepted at obj -3466)
+        no_drift = (znorm < 1e-3 * div) & (jnp.maximum(
+            jnp.max(zl_n, axis=1), jnp.max(zu_n, axis=1)) < 1e-3 * div)
         stalled = ((noimp_n >= 8) & (pinf < 10 * tol) & (dinf < 100 * tol)
-                   & (gap < 100 * tol))
+                   & (gap < 100 * tol) & no_drift)
 
         converged = ((pinf < tol) & (dinf < 10 * tol) & (gap < tol)
                      ) | stalled
@@ -342,7 +349,7 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         # (100x) thresholds, else give up with ITLIM
         bad_step = settled & ~(chol_ok & dir_ok)
         salvage = ((pinf < 100 * tol) & (dinf < 100 * tol)
-                   & (gap < 100 * tol))
+                   & (gap < 100 * tol) & no_drift)
         status_n = jnp.where(
             running & converged, OPTIMAL,
             jnp.where(running & unbounded, UNBOUNDED,
