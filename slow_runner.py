@@ -73,6 +73,12 @@ def run_one(ex):
 
 
 def main():
+    if os.environ.get("BENSOLVE_CPU") == "1":
+        # JAX_PLATFORMS is ignored once sitecustomize has imported jax
+        # and registered the tunnel backend — use the config API
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     rows = [run_one(ex) for ex in (sys.argv[1:] or ["ex10", "ex07", "ex09"])]
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     lines = ["# SLOW_RESULTS — large reference examples, recorded runs",
