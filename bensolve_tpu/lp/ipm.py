@@ -647,7 +647,10 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     # running instances that polish clean become OPTIMAL, the rest get
     # certificate-checked (Farkas / ray) before any INFEASIBLE or
     # UNBOUNDED verdict — heuristics alone misclassified the feasible
-    # P2 template in round 3.
+    # P2 template in round 3.  NOTE: polish is not merely accuracy —
+    # it turns the IPM's interior duals into VERTEX duals, which the
+    # Benson cut/eta constructions rely on (skipping it for strictly
+    # converged instances changed ex05's vertex enumeration).
     As64 = np.asarray(As, np.float64)
     do_polish = polish if polish is not None else (M <= 1500)
     for i in range(B):
