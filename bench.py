@@ -114,8 +114,12 @@ def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
     if ok.size and res.basis is not None:
         from bensolve_tpu.lp.dual_simplex import solve_batch_dual
 
-        warm = (res.basis[int(ok[0])], res.at_upper[int(ok[0])])
-        rub2 = (row_ub * 0.98).astype(row_ub.dtype)
+        # per-instance parent bases, exactly like the Benson frontier
+        # (_FacetWarm): each LP restarts from ITS OWN optimal basis
+        # after a small row-bound tightening, which keeps the basis
+        # dual feasible
+        warm = (np.asarray(res.basis), np.asarray(res.at_upper))
+        rub2 = (row_ub * 0.99).astype(row_ub.dtype)
 
         def wsolve(cc):
             return solve_batch_dual(A, cc, row_lb, rub2, col_lb,
@@ -124,7 +128,7 @@ def run_device(A, c, row_lb, row_ub, col_lb, col_ub, reps=3):
 
         wres = wsolve(c)                  # compile (new shape set)
         t0 = time.perf_counter()
-        wres = wsolve(c * 1.001)
+        wres = wsolve(c)
         warm_time = time.perf_counter() - t0
         warm_pivots = float(wres.iters.mean())
         print(f"# warm re-solve (dual simplex): {B / warm_time:.0f} LP/s, "
