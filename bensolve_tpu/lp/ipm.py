@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import time as _time
 
 import jax
 import jax.numpy as jnp
@@ -416,11 +417,12 @@ def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
     marg = np.where(at_lb, zl, zu)
     dtol = 1e-6 * (1.0 + np.abs(c_s).max())
 
-    for _ in range(max_rounds):
+    used = 0
+    for used in range(1, max_rounds + 1):
         pinned = fixed | at_lb | at_ub
         F = np.flatnonzero(~pinned)
         if F.size == 0 or F.size > 6 * M + 16:
-            return z, y, False
+            return z, y, False, used
         zp = z.copy()
         zp[fixed | at_lb] = l[fixed | at_lb]
         zp[at_ub] = u[at_ub]
@@ -437,7 +439,7 @@ def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
         act = zp[:Nc] @ As.T - zp[Nc:]
         scale_z = 1.0 + np.abs(zp).max()
         if not np.isfinite(scale_z):
-            return z, y, False
+            return z, y, False, used
         if np.abs(act).max() > 1e-8 * scale_z:
             # residual unreachable from this free set: unpin the single
             # most weakly pinned bound (smallest multiplier) — one at a
@@ -445,7 +447,7 @@ def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
             # the dual fit overdetermined
             cand = np.flatnonzero(at_lb | at_ub)
             if cand.size == 0:
-                return z, y, False
+                return z, y, False, used
             k = cand[np.argmin(marg[cand])]
             at_lb[k] = False
             at_ub[k] = False
@@ -465,7 +467,7 @@ def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
         bad_ub = at_ub & (rd > dtol)
         bad_f = ~pinned & (np.abs(rd) > dtol)
         if not (bad_lb.any() or bad_ub.any() or bad_f.any()):
-            return zp, yp, True
+            return zp, yp, True, used
         if bad_lb.any() or bad_ub.any():
             at_lb[bad_lb] = False
             at_ub[bad_ub] = False
@@ -488,8 +490,8 @@ def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
                 at_ub[j] = True
                 n_done += 1
         if n_done == 0:
-            return z, y, False
-    return z, y, False
+            return z, y, False, used
+    return z, y, False, used
 
 
 def _farkas_infeasible(As, y, l, u) -> bool:
@@ -653,17 +655,35 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     # converged instances changed ex05's vertex enumeration).
     As64 = np.asarray(As, np.float64)
     do_polish = polish if polish is not None else (M <= 1500)
+    # host polish is ~M^2*|F| per least-squares round and the adaptive
+    # repair can loop — budget the whole batch by a DETERMINISTIC work
+    # measure (estimated flops of the rounds actually spent), so a
+    # large frontier of f32-quality iterates cannot wedge a Benson
+    # round for minutes (observed on ex07: 40 instances x repair loops
+    # ~ half an hour) while identical inputs always polish identically
+    # (a wall-clock budget made vertex selection load-dependent).
+    budget_fl = float(os.environ.get("BENSOLVE_POLISH_BUDGET_FLOPS",
+                                     "4e11"))
+    per_round = 4.0 * M * M * min(6 * M + 16, K)
+    rounds_cap = 24 if M <= 512 else 6
+    spent = 0.0
+    n_skipped = 0
     for i in range(B):
         if crossed[i]:
             continue
         st = int(status[i])
-        if st in (OPTIMAL, -1) and do_polish:
-            zp, yp, ok = _polish_one(As64, z[i], y[i], zl[i], zu[i],
-                                     l_s[i], u_s[i], c_s[i])
+        if st in (OPTIMAL, -1) and do_polish and spent <= budget_fl:
+            zp, yp, ok, used = _polish_one(As64, z[i], y[i], zl[i],
+                                           zu[i], l_s[i], u_s[i],
+                                           c_s[i],
+                                           max_rounds=rounds_cap)
+            spent += used * per_round
             if ok:
                 z[i], y[i] = zp, yp
                 status[i] = OPTIMAL
                 continue
+        elif st in (OPTIMAL, -1) and do_polish:
+            n_skipped += 1
         if st == -1:
             # classify leftovers: certificate or ITLIM
             if _farkas_infeasible(As64, y[i], l_s[i], u_s[i]):
@@ -701,7 +721,15 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     # simplex family when the shape is simplex-tractable.  This makes
     # the IPM route exact everywhere except truly huge instances,
     # where the caller accepted f32-grade tolerances to begin with.
-    fb_gate = int(os.environ.get("BENSOLVE_IPM_FALLBACK_M", "2000"))
+    fb_default = "2000"
+    try:
+        if jax.default_backend() == "tpu":
+            # the f64 simplex fallback is emulated (pivot-bound) on
+            # TPU — only worth it for small instances
+            fb_default = "800"
+    except Exception:
+        pass
+    fb_gate = int(os.environ.get("BENSOLVE_IPM_FALLBACK_M", fb_default))
     fb = np.flatnonzero(status == ITLIM)
     if fb.size and M <= fb_gate:
         from bensolve_tpu.lp import simplex as _sx
@@ -735,7 +763,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
             1.0 + np.abs(c_s).max())
         print(f"lp_solve[ipm]: batch={B} statuses={counts} "
               f"iters max={int(iters.max())} "
-              f"pinf max={pinf.max():.2e} dinf max={dinf.max():.2e}",
+              f"pinf max={pinf.max():.2e} dinf max={dinf.max():.2e}"
+              + (f" polish_skipped={n_skipped}" if n_skipped else ""),
               flush=True)
     return LPResult(status, obj, x, s, row_dual, col_dual,
                     iters, None, None)
