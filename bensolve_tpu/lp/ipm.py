@@ -176,7 +176,7 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
     status0 = jnp.full(B, -1, jnp.int32)      # -1 = running
 
     def body(carry):
-        z, y, zl, zu, p, w, status, it, mu_prev, noimp = carry
+        z, y, zl, zu, p, w, status, it, mu_prev, noimp = carry[:10]
         running = status < 0
 
         theta = (jnp.where(has_l & ~fixed, zl / p, 0.0)
@@ -226,11 +226,26 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         L, _, chol_ok = jax.lax.cond(
             jnp.all(chol_ok), lambda a: a, _retry_chol, (L, S, chol_ok))
 
+        def solve_S(rhs):
+            # Cholesky solve + ONE iterative-refinement step.  The TPU
+            # triangular solve is blocked-inverse-based (not backward
+            # stable like LAPACK): without refinement the Newton
+            # direction degrades as the barrier spreads S's spectrum,
+            # and the primal residual GROWS from ~1e-3 to 0.5 over the
+            # late iterations at ex09 scale while the same f32 math
+            # converges on CPU.  One residual correction (full-
+            # precision matvec) restores the tracking.
+            x = jax.vmap(_chol_solve)(L, rhs)
+            resid = rhs - jnp.einsum(
+                "bmn,bn->bm", S, x,
+                precision=jax.lax.Precision.HIGHEST)
+            return x + jax.vmap(_chol_solve)(L, resid)
+
         def solve_dir(r_cl, r_cu):
             rhat = (r_d - jnp.where(has_l & ~fixed, r_cl / p, 0.0)
                     + jnp.where(has_u & ~fixed, r_cu / w, 0.0))
             rhs = r_p + Gz(D * rhat)
-            dy = jax.vmap(_chol_solve)(L, rhs)
+            dy = solve_S(rhs)
             dz = D * (GTy(dy) - rhat)
             dzl = jnp.where(has_l & ~fixed, (r_cl - zl * dz) / p, 0.0)
             dzu = jnp.where(has_u & ~fixed, (r_cu + zu * dz) / w, 0.0)
@@ -360,17 +375,24 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
                                                     ITLIM),
                                           status))))
         it_n = it + running.astype(jnp.int32)
-        if os.environ.get("BENSOLVE_IPM_TRACE") == "1":
-            # per-iteration trace of instance 0 (static env gate — only
-            # traced-in when requested; used to diagnose stalls at
-            # scales where host-side re-runs are impractical)
-            jax.debug.print(
-                "ipm it={i} mu={m:.3e} pinf={p:.3e} dinf={d:.3e} "
-                "gap={g:.3e} ap={a:.3f} ad={b:.3f} sigma={s:.3f}",
-                i=it[0], m=mu_n[0], p=pinf[0], d=dinf[0], g=gap[0],
-                a=a_p[0, 0], b=a_d[0, 0], s=sigma[0])
-        return (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
-                noimp_n)
+        carry_n = (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
+                   noimp_n)
+        if trace_on:
+            # per-iteration history of instance 0 written into a
+            # carried buffer (static env gate BENSOLVE_IPM_TRACE=1) —
+            # host callbacks are unavailable on the axon tunnel
+            # backend, so the trace must ride the loop state
+            hist = carry[10]
+            row = jnp.stack([mu_n[0], pinf[0], dinf[0], gap[0],
+                             a_p[0, 0], a_d[0, 0], sigma[0]])
+            idx = jnp.minimum(it[0], hist.shape[0] - 1).astype(jnp.int32)
+            hist = jax.lax.dynamic_update_slice(
+                hist, row.astype(hist.dtype)[None, :],
+                (idx, jnp.int32(0)))
+            carry_n = carry_n + (hist,)
+        return carry_n
+
+    trace_on = os.environ.get("BENSOLVE_IPM_TRACE") == "1"
 
     def cond(carry):
         status, it = carry[6], carry[7]
@@ -379,9 +401,12 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
     init = (z0, y0, zl0, zu0, p0, w0, status0,
             jnp.zeros(B, jnp.int32), jnp.ones(B, dtype),
             jnp.zeros(B, jnp.int32))
-    (z, y, zl, zu, p, w, status, it, mu,
-     _noimp) = jax.lax.while_loop(cond, body, init)
-    return z, y, zl, zu, status, it
+    if trace_on:
+        init = init + (jnp.zeros((max_iter, 7), jnp.float32),)
+    out = jax.lax.while_loop(cond, body, init)
+    z, y, zl, zu, p, w, status, it, mu, _noimp = out[:10]
+    hist = out[10] if trace_on else None
+    return z, y, zl, zu, status, it, hist
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -634,7 +659,16 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         with _jax.default_matmul_precision(mm):
             out = _ipm_jit(A_dev, _pad(c_s), _pad(l_s), _pad(u_s),
                            split_dev, max_iter)
-        outs.append(tuple(o[:Bc] for o in out))
+        if out[6] is not None:
+            hist = np.asarray(out[6])
+            for k, hrow in enumerate(hist):
+                if not hrow.any():
+                    break
+                print(f"ipm it={k} mu={hrow[0]:.3e} pinf={hrow[1]:.3e} "
+                      f"dinf={hrow[2]:.3e} gap={hrow[3]:.3e} "
+                      f"ap={hrow[4]:.3f} ad={hrow[5]:.3f} "
+                      f"sigma={hrow[6]:.3f}", flush=True)
+        outs.append(tuple(o[:Bc] for o in out[:6]))
     z = np.concatenate([np.asarray(o[0], np.float64) for o in outs])
     y = np.concatenate([np.asarray(o[1], np.float64) for o in outs])
     zl = np.concatenate([np.asarray(o[2], np.float64) for o in outs])
