@@ -226,10 +226,6 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         L, _, chol_ok = jax.lax.cond(
             jnp.all(chol_ok), lambda a: a, _retry_chol, (L, S, chol_ok))
 
-        # f64 shadow of S for refinement residuals (matvec-sized work,
-        # fine even under TPU f64 emulation)
-        S64 = S.astype(jnp.float64)
-
         def solve_S(rhs):
             # Cholesky solve + iterative refinement.  The TPU
             # triangular solve is blocked-inverse-based (not backward
@@ -237,14 +233,16 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
             # direction degrades as the barrier spreads S's spectrum,
             # and the primal residual GROWS from ~1e-3 to 0.5 over the
             # late iterations at ex09 scale while the same f32 math
-            # converges on CPU.  Two residual corrections with the
-            # residual accumulated in f64 restore the tracking.
+            # converges on CPU.  Residuals are computed at HIGHEST
+            # (full-f32) matmul precision; an f64-emulated residual was
+            # tried and made things WORSE on the tunnel backend (its
+            # emulated f64 einsum is unreliable — same reason
+            # lp/linalg.py carries a custom f64 LU).
             x = jax.vmap(_chol_solve)(L, rhs)
-            rhs64 = rhs.astype(jnp.float64)
             for _ in range(2):
-                resid = (rhs64 - jnp.einsum(
-                    "bmn,bn->bm", S64, x.astype(jnp.float64))
-                ).astype(rhs.dtype)
+                resid = rhs - jnp.einsum(
+                    "bmn,bn->bm", S, x,
+                    precision=jax.lax.Precision.HIGHEST)
                 x = x + jax.vmap(_chol_solve)(L, resid)
             return x
 
