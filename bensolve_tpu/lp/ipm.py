@@ -315,8 +315,26 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         p_n = jnp.maximum(p_n, floor)
         w_n = jnp.maximum(w_n, floor)
 
-        # convergence / divergence classification on the NEW iterate
+        # primal step-quality safeguard: the f32 endgame can produce a
+        # direction whose error DESTROYS feasibility (observed: pinf
+        # jumping 1e-3 -> 0.4 in one late iteration at ex09 scale).
+        # If the tentative step multiplies the primal residual past a
+        # 4x band (and the loose floor), revert the PRIMAL update and
+        # keep the dual one — a dual-only iteration still reduces
+        # complementarity and the next direction re-targets r_p.
+        pinf_old = jnp.max(jnp.abs(r_p), axis=1) / (
+            1.0 + jnp.max(jnp.abs(z), axis=1))
         r_p_n = -Gz(z_n)
+        pinf_try = jnp.max(jnp.abs(r_p_n), axis=1) / (
+            1.0 + jnp.max(jnp.abs(z_n), axis=1))
+        revert = (running & (pinf_try > jnp.maximum(4.0 * pinf_old,
+                                                    100 * tol)))[:, None]
+        z_n = jnp.where(revert, z, z_n)
+        p_n = jnp.where(revert, p, p_n)
+        w_n = jnp.where(revert, w, w_n)
+        r_p_n = jnp.where(revert, r_p, r_p_n)
+
+        # convergence / divergence classification on the NEW iterate
         r_d_n = c - GTy(y_n) - zl_n + zu_n
         mu_n = ((jnp.sum(jnp.where(has_l & ~fixed, p_n * zl_n, 0.0), axis=1)
                  + jnp.sum(jnp.where(has_u & ~fixed, w_n * zu_n, 0.0),
