@@ -315,26 +315,12 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         p_n = jnp.maximum(p_n, floor)
         w_n = jnp.maximum(w_n, floor)
 
-        # primal step-quality safeguard: the f32 endgame can produce a
-        # direction whose error DESTROYS feasibility (observed: pinf
-        # jumping 1e-3 -> 0.4 in one late iteration at ex09 scale).
-        # If the tentative step multiplies the primal residual past a
-        # 4x band (and the loose floor), revert the PRIMAL update and
-        # keep the dual one — a dual-only iteration still reduces
-        # complementarity and the next direction re-targets r_p.
-        pinf_old = jnp.max(jnp.abs(r_p), axis=1) / (
-            1.0 + jnp.max(jnp.abs(z), axis=1))
-        r_p_n = -Gz(z_n)
-        pinf_try = jnp.max(jnp.abs(r_p_n), axis=1) / (
-            1.0 + jnp.max(jnp.abs(z_n), axis=1))
-        revert = (running & (pinf_try > jnp.maximum(4.0 * pinf_old,
-                                                    100 * tol)))[:, None]
-        z_n = jnp.where(revert, z, z_n)
-        p_n = jnp.where(revert, p, p_n)
-        w_n = jnp.where(revert, w, w_n)
-        r_p_n = jnp.where(revert, r_p, r_p_n)
-
         # convergence / divergence classification on the NEW iterate
+        # (NOTE: no step-quality clamping here — the f32 endgame takes
+        # deliberate feasibility EXCURSIONS (observed pinf 1e-3 -> 0.4
+        # -> 6e-6 over four iterations at ex09 scale) and a revert
+        # rule froze otherwise-convergent runs)
+        r_p_n = -Gz(z_n)
         r_d_n = c - GTy(y_n) - zl_n + zu_n
         mu_n = ((jnp.sum(jnp.where(has_l & ~fixed, p_n * zl_n, 0.0), axis=1)
                  + jnp.sum(jnp.where(has_u & ~fixed, w_n * zu_n, 0.0),
@@ -357,6 +343,17 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
         # iteration); anything below 30%/iter counts as stalling
         improving = mu_n < 0.7 * mu_prev
         noimp_n = jnp.where(improving, 0, noimp + 1)
+        # barrier restart on persistent stall: if mu stopped shrinking
+        # for 16 iterations and the residuals are NOT loose-acceptable,
+        # reset the bound multipliers to the cold start (keeping the
+        # primal iterate and y) — a fresh central-path trajectory from
+        # the current point escapes f32 corners that small steps
+        # cannot (the GLPK glp_std_basis retry analogue for the IPM)
+        restart = (running & (noimp_n >= 16) & (pinf >= 10 * tol))
+        zl_n = jnp.where(restart[:, None] & has_l & ~fixed, 1.0, zl_n)
+        zu_n = jnp.where(restart[:, None] & has_u & ~fixed, 1.0, zu_n)
+        noimp_n = jnp.where(restart, 0, noimp_n)
+        mu_n = jnp.where(restart, 1.0, mu_n)
         # stall acceptance must bound the duality gap too — residuals
         # alone let a stalled solve return OPTIMAL with an arbitrarily
         # large objective error (round-3 advisor finding)
@@ -582,7 +579,7 @@ def _unbounded_ray(As, z, c_s, l, u) -> bool:
 
 
 def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
-                    max_iter: int = 120, dtype=np.float32,
+                    max_iter: int = 200, dtype=np.float32,
                     verbose: int = 0, polish: bool | None = None,
                     max_chunk: int | None = None,
                     **_ignored) -> LPResult:
