@@ -579,7 +579,7 @@ def _unbounded_ray(As, z, c_s, l, u) -> bool:
 
 
 def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
-                    max_iter: int = 200, dtype=np.float32,
+                    max_iter: int = 400, dtype=np.float32,
                     verbose: int = 0, polish: bool | None = None,
                     max_chunk: int | None = None,
                     **_ignored) -> LPResult:
