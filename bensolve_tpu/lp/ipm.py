@@ -395,14 +395,27 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
                                                     ITLIM),
                                           status))))
         it_n = it + running.astype(jnp.int32)
+        # best-iterate tracking: the restart machinery can leave the
+        # FINAL iterate mid-trajectory (fresh multipliers, mu ~ 1);
+        # budget-exhausted instances are classified from the best KKT
+        # score seen instead of whatever the last segment left behind
+        zb, yb, zlb, zub, score_b = carry[10:15]
+        score = jnp.maximum(jnp.maximum(pinf, dinf), gap)
+        better = (running & (score < score_b))[:, None]
+        zb = jnp.where(better, z_n, zb)
+        yb = jnp.where(better, y_n, yb)
+        zlb = jnp.where(better, zl_n, zlb)
+        zub = jnp.where(better, zu_n, zub)
+        score_b = jnp.minimum(score_b, jnp.where(
+            running, score, jnp.inf))
         carry_n = (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
-                   noimp_n)
+                   noimp_n, zb, yb, zlb, zub, score_b)
         if trace_on:
             # per-iteration history of instance 0 written into a
             # carried buffer (static env gate BENSOLVE_IPM_TRACE=1) —
             # host callbacks are unavailable on the axon tunnel
             # backend, so the trace must ride the loop state
-            hist = carry[10]
+            hist = carry[15]
             row = jnp.stack([mu_n[0], pinf[0], dinf[0], gap[0],
                              a_p[0, 0], a_d[0, 0], sigma[0]])
             idx = jnp.minimum(it[0], hist.shape[0] - 1).astype(jnp.int32)
@@ -420,12 +433,20 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
 
     init = (z0, y0, zl0, zu0, p0, w0, status0,
             jnp.zeros(B, jnp.int32), jnp.ones(B, dtype),
-            jnp.zeros(B, jnp.int32))
+            jnp.zeros(B, jnp.int32),
+            z0, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
     if trace_on:
         init = init + (jnp.zeros((max_iter, 7), jnp.float32),)
     out = jax.lax.while_loop(cond, body, init)
     z, y, zl, zu, p, w, status, it, mu, _noimp = out[:10]
-    hist = out[10] if trace_on else None
+    zb, yb, zlb, zub, _score = out[10:15]
+    hist = out[15] if trace_on else None
+    # unconverged instances report their BEST iterate, not the last
+    still = (status < 0)[:, None]
+    z = jnp.where(still, zb, z)
+    y = jnp.where(still, yb, y)
+    zl = jnp.where(still, zlb, zl)
+    zu = jnp.where(still, zub, zu)
     return z, y, zl, zu, status, it, hist
 
 
