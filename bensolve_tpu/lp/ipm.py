@@ -120,19 +120,54 @@ def _chol_solve(L, b):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
-def _ipm_core(A, c, l, u, split, max_iter, dtype):
-    """One jitted IPM solve over a batch sharing A.  c, l, u: (B, K)
-    with K = N + M (x then s).  ``split``: (nf, 2) int32 column-index
-    pairs of free-variable splits x = x+ - x- (both halves in [0, inf));
-    after each step the pair's common mode min(x+, x-) is pulled back
-    toward 1 — the two columns of A are exact negatives, so the shift
-    changes no residual, and without it the pair drifts to +inf along
-    the null direction and trips the divergence detector (the round-3
-    P2-template INFEASIBLE misclassification).  Returns
-    (z, y, zl, zu, status, iters) with status -1 for instances still
-    running at max_iter — classification of those is the Python
-    caller's job (Farkas certificate / polish), not a heuristic here.
-    """
+def _ipm_init_core(c, l, u, dtype):
+    """Initial carry: midpoint start with EXACT barrier distances.
+    (Flooring p0/w0 at 1.0 while the true distance is smaller let the
+    first step's ratio test push iterates OUTSIDE narrow boxes — and
+    with no bound-feasibility term in the convergence test, an
+    infeasible LP could then converge to a false OPTIMAL.)"""
+    B, K = c.shape
+    has_l = jnp.isfinite(l)
+    has_u = jnp.isfinite(u)
+    fixed = has_l & has_u & (u - l <= 0)
+    z0 = jnp.where(fixed, l,
+                   jnp.where(has_l & has_u, 0.5 * (l + u),
+                             jnp.where(has_l, l + 1.0,
+                                       jnp.where(has_u, u - 1.0, 0.0))))
+    p0 = jnp.where(has_l & ~fixed, jnp.maximum(z0 - l, 1e-12), 1.0)
+    w0 = jnp.where(has_u & ~fixed, jnp.maximum(u - z0, 1e-12), 1.0)
+    zl0 = jnp.where(has_l & ~fixed, 1.0, 0.0).astype(dtype)
+    zu0 = jnp.where(has_u & ~fixed, 1.0, 0.0).astype(dtype)
+    return (z0, p0, w0, zl0, zu0)
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _ipm_init_jit(c, l, u, M):
+    dtype = c.dtype
+    B, K = c.shape
+    z0, p0, w0, zl0, zu0 = _ipm_init_core(c, l, u, dtype)
+    y0 = jnp.zeros((B, M), dtype)
+    status0 = jnp.full(B, -1, jnp.int32)
+    return (z0, y0, zl0, zu0, p0, w0, status0,
+            jnp.zeros(B, jnp.int32), jnp.ones(B, dtype),
+            jnp.zeros(B, jnp.int32),
+            z0, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
+
+
+def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
+    """Advance the IPM by at most ``seg`` iterations from ``carry0``.
+    c, l, u: (B, K) with K = N + M (x then s).  ``split``: (nf, 2)
+    int32 column-index pairs of free-variable splits x = x+ - x- (both
+    halves in [0, inf)); after each step the pair's common mode
+    min(x+, x-) is pulled back toward 1 — the two columns of A are
+    exact negatives, so the shift changes no residual, and without it
+    the pair drifts to +inf along the null direction and trips the
+    divergence detector.  SEGMENTED execution (the revised backend's
+    pattern): one multi-minute device program trips remote-runtime
+    watchdogs — observed: the ex09 phase-1 round crashed the TPU
+    worker — so the host re-invokes this in seg-sized slices and gets
+    progress observability for free.  status -1 = still running;
+    classification is the Python caller's job."""
     tol, reg_p, reg_d, damp, div = _params(dtype)
     B, K = c.shape
     M, N = A.shape
@@ -158,22 +193,6 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
     def GTy(y):
         return jnp.concatenate([jnp.matmul(y, A, precision=prec), -y],
                                axis=1)
-
-    # start: midpoint of finite bounds, EXACT initial barrier distances.
-    # (Flooring p0/w0 at 1.0 while the true distance is smaller let the
-    # first step's ratio test push iterates OUTSIDE narrow boxes — and
-    # with no bound-feasibility term in the convergence test, an
-    # infeasible LP could then converge to a false OPTIMAL.)
-    z0 = jnp.where(fixed, l,
-                   jnp.where(has_l & has_u, 0.5 * (l + u),
-                             jnp.where(has_l, l + 1.0,
-                                       jnp.where(has_u, u - 1.0, 0.0))))
-    p0 = jnp.where(has_l & ~fixed, jnp.maximum(z0 - l, 1e-12), 1.0)
-    w0 = jnp.where(has_u & ~fixed, jnp.maximum(u - z0, 1e-12), 1.0)
-    zl0 = jnp.where(has_l & ~fixed, 1.0, 0.0).astype(dtype)
-    zu0 = jnp.where(has_u & ~fixed, 1.0, 0.0).astype(dtype)
-    y0 = jnp.zeros((B, M), dtype)
-    status0 = jnp.full(B, -1, jnp.int32)      # -1 = running
 
     def body(carry):
         z, y, zl, zu, p, w, status, it, mu_prev, noimp = carry[:10]
@@ -427,32 +446,24 @@ def _ipm_core(A, c, l, u, split, max_iter, dtype):
 
     trace_on = os.environ.get("BENSOLVE_IPM_TRACE") == "1"
 
-    def cond(carry):
+    def cond2(kc):
+        k, carry = kc
         status, it = carry[6], carry[7]
-        return jnp.any(status < 0) & jnp.all(it < max_iter)
+        return ((k < seg) & jnp.any(status < 0)
+                & jnp.all(it < max_iter))
 
-    init = (z0, y0, zl0, zu0, p0, w0, status0,
-            jnp.zeros(B, jnp.int32), jnp.ones(B, dtype),
-            jnp.zeros(B, jnp.int32),
-            z0, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
-    if trace_on:
-        init = init + (jnp.zeros((max_iter, 7), jnp.float32),)
-    out = jax.lax.while_loop(cond, body, init)
-    z, y, zl, zu, p, w, status, it, mu, _noimp = out[:10]
-    zb, yb, zlb, zub, _score = out[10:15]
-    hist = out[15] if trace_on else None
-    # unconverged instances report their BEST iterate, not the last
-    still = (status < 0)[:, None]
-    z = jnp.where(still, zb, z)
-    y = jnp.where(still, yb, y)
-    zl = jnp.where(still, zlb, zl)
-    zu = jnp.where(still, zub, zu)
-    return z, y, zl, zu, status, it, hist
+    def body2(kc):
+        k, carry = kc
+        return (k + 1, body(carry))
+
+    _, out = jax.lax.while_loop(cond2, body2,
+                                (jnp.int32(0), carry0))
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _ipm_jit(A, c, l, u, split, max_iter):
-    return _ipm_core(A, c, l, u, split, max_iter, c.dtype)
+@functools.partial(jax.jit, static_argnames=("seg", "max_iter"))
+def _ipm_seg_jit(A, c, l, u, split, carry, seg, max_iter):
+    return _ipm_core(A, c, l, u, split, carry, seg, max_iter, c.dtype)
 
 
 def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
@@ -723,19 +734,46 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         import jax as _jax
 
         mm = os.environ.get("BENSOLVE_IPM_MM_PREC", "highest")
+        trace_on = os.environ.get("BENSOLVE_IPM_TRACE") == "1"
+        seg = int(os.environ.get("BENSOLVE_IPM_SEG", "60"))
+        c_p, l_p, u_p = _pad(c_s), _pad(l_s), _pad(u_s)
+        carry = _ipm_init_jit(c_p, l_p, u_p, M)
+        if trace_on:
+            carry = carry + (jnp.zeros((max_iter, 7), jnp.float32),)
+        t_seg = _time.perf_counter()
         with _jax.default_matmul_precision(mm):
-            out = _ipm_jit(A_dev, _pad(c_s), _pad(l_s), _pad(u_s),
-                           split_dev, max_iter)
-        if out[6] is not None:
-            hist = np.asarray(out[6])
-            for k, hrow in enumerate(hist):
+            while True:
+                carry = _ipm_seg_jit(A_dev, c_p, l_p, u_p, split_dev,
+                                     carry, seg, max_iter)
+                st_h = np.asarray(carry[6])
+                it_h = np.asarray(carry[7])
+                done = (st_h >= 0).all() or int(it_h.max()) >= max_iter
+                if verbose >= 2 and not done:
+                    print(f"lp_solve[ipm]: segment it={int(it_h.max())} "
+                          f"running={int((st_h < 0).sum())}/{Bp} "
+                          f"({_time.perf_counter() - t_seg:.0f}s)",
+                          flush=True)
+                if done:
+                    break
+        if trace_on:
+            for k, hrow in enumerate(np.asarray(carry[15])):
                 if not hrow.any():
                     break
                 print(f"ipm it={k} mu={hrow[0]:.3e} pinf={hrow[1]:.3e} "
                       f"dinf={hrow[2]:.3e} gap={hrow[3]:.3e} "
                       f"ap={hrow[4]:.3f} ad={hrow[5]:.3f} "
                       f"sigma={hrow[6]:.3f}", flush=True)
-        outs.append(tuple(o[:Bc] for o in out[:6]))
+        # unconverged instances report their BEST iterate, not the last
+        zc, yc, zlc, zuc = (np.asarray(carry[j]) for j in range(4))
+        zbc, ybc, zlbc, zubc = (np.asarray(carry[j])
+                                for j in range(10, 14))
+        still = st_h < 0
+        zc = np.where(still[:, None], zbc, zc)
+        yc = np.where(still[:, None], ybc, yc)
+        zlc = np.where(still[:, None], zlbc, zlc)
+        zuc = np.where(still[:, None], zubc, zuc)
+        outs.append((zc[:Bc], yc[:Bc], zlc[:Bc], zuc[:Bc],
+                     st_h[:Bc], it_h[:Bc]))
     z = np.concatenate([np.asarray(o[0], np.float64) for o in outs])
     y = np.concatenate([np.asarray(o[1], np.float64) for o in outs])
     zl = np.concatenate([np.asarray(o[2], np.float64) for o in outs])
