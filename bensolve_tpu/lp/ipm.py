@@ -367,10 +367,26 @@ def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
         # reset the bound multipliers to the cold start (keeping the
         # primal iterate and y) — a fresh central-path trajectory from
         # the current point escapes f32 corners that small steps
-        # cannot (the GLPK glp_std_basis retry analogue for the IPM)
+        # cannot (the GLPK glp_std_basis retry analogue for the IPM).
+        # Late restarts (past half the budget) also re-center the
+        # PRIMAL iterate toward the box midpoint for trajectory
+        # diversity — repeated multiplier-only restarts from the same
+        # corner walk back into it.
         restart = (running & (noimp_n >= 16) & (pinf >= 10 * tol))
         zl_n = jnp.where(restart[:, None] & has_l & ~fixed, 1.0, zl_n)
         zu_n = jnp.where(restart[:, None] & has_u & ~fixed, 1.0, zu_n)
+        full_restart = restart & (it >= max_iter // 2)
+        mid = jnp.where(fixed, l,
+                        jnp.where(has_l & has_u, 0.5 * (l + u),
+                                  jnp.where(has_l, l + 1.0,
+                                            jnp.where(has_u, u - 1.0,
+                                                      0.0))))
+        z_half = 0.5 * (z_n + mid)
+        z_n = jnp.where(full_restart[:, None], z_half, z_n)
+        p_n = jnp.where(full_restart[:, None] & has_l & ~fixed,
+                        jnp.maximum(z_n - l, floor), p_n)
+        w_n = jnp.where(full_restart[:, None] & has_u & ~fixed,
+                        jnp.maximum(u - z_n, floor), w_n)
         noimp_n = jnp.where(restart, 0, noimp_n)
         mu_n = jnp.where(restart, 1.0, mu_n)
         # stall acceptance must bound the duality gap too — residuals
@@ -637,7 +653,7 @@ def _unbounded_ray(As, z, c_s, l, u) -> bool:
 
 
 def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
-                    max_iter: int = 400, dtype=np.float32,
+                    max_iter: int = 800, dtype=np.float32,
                     verbose: int = 0, polish: bool | None = None,
                     max_chunk: int | None = None,
                     **_ignored) -> LPResult:
