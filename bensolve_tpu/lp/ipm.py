@@ -360,6 +360,22 @@ def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
         # eps 1e-2..5e-2
         # Mehrotra convergence is geometric (3-10x mu reduction per
         # iteration); anything below 30%/iter counts as stalling
+        # best-iterate tracking BEFORE any restart below: on a restart
+        # iteration the freshly reset multipliers must not be stored
+        # under the pre-restart score (that corrupted the best state —
+        # observed dinf jumping to 2e2 on the substituted iterate).
+        # Budget-exhausted instances are classified from the best KKT
+        # score seen, not whatever the last segment left behind.
+        zb, yb, zlb, zub, score_b = carry[10:15]
+        score = jnp.maximum(jnp.maximum(pinf, dinf), gap)
+        better = (running & (score < score_b))[:, None]
+        zb = jnp.where(better, z_n, zb)
+        yb = jnp.where(better, y_n, yb)
+        zlb = jnp.where(better, zl_n, zlb)
+        zub = jnp.where(better, zu_n, zub)
+        score_b = jnp.minimum(score_b, jnp.where(
+            running, score, jnp.inf))
+
         improving = mu_n < 0.7 * mu_prev
         noimp_n = jnp.where(improving, 0, noimp + 1)
         # barrier restart on persistent stall: if mu stopped shrinking
@@ -430,19 +446,6 @@ def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
                                                     ITLIM),
                                           status))))
         it_n = it + running.astype(jnp.int32)
-        # best-iterate tracking: the restart machinery can leave the
-        # FINAL iterate mid-trajectory (fresh multipliers, mu ~ 1);
-        # budget-exhausted instances are classified from the best KKT
-        # score seen instead of whatever the last segment left behind
-        zb, yb, zlb, zub, score_b = carry[10:15]
-        score = jnp.maximum(jnp.maximum(pinf, dinf), gap)
-        better = (running & (score < score_b))[:, None]
-        zb = jnp.where(better, z_n, zb)
-        yb = jnp.where(better, y_n, yb)
-        zlb = jnp.where(better, zl_n, zlb)
-        zub = jnp.where(better, zu_n, zub)
-        score_b = jnp.minimum(score_b, jnp.where(
-            running, score, jnp.inf))
         carry_n = (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
                    noimp_n, zb, yb, zlb, zub, score_b)
         if trace_on:
