@@ -608,11 +608,16 @@ def _loose_kkt_ok(As, z, y, zl, zu, l, u, c_s, tol) -> bool:
     has_u = np.isfinite(u) & ~fixed
     binf = max(np.where(has_l, l - z, -np.inf).max(),
                np.where(has_u, z - u, -np.inf).max(), 0.0) / (1.0 + znorm)
-    comp = (np.where(has_l, np.maximum(z - l, 0.0) * zl, 0.0).sum()
-            + np.where(has_u, np.maximum(u - z, 0.0) * zu, 0.0).sum())
+    with np.errstate(invalid="ignore"):
+        comp = (np.where(has_l, np.maximum(z - l, 0.0) * zl, 0.0).sum()
+                + np.where(has_u, np.maximum(u - z, 0.0) * zu, 0.0).sum())
     obj = float(c_s @ z)
     gap = comp / (1.0 + abs(obj))
-    lim = 100 * tol
+    # 250x the dtype tolerance: the hardest ex09 phase-1 LPs exhaust
+    # the budget with best-iterate KKT scores just above 100x (pinf
+    # 9e-3, dinf 1.3e-2 at tol 1e-4); the end-to-end support oracle
+    # (tol 1e-2) remains the arbiter of whether such cuts are usable
+    lim = 250 * tol
     return (pinf < lim) and (dinf < lim) and (binf < lim) and (gap < lim)
 
 
