@@ -276,6 +276,7 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         warm_mode == "per_candidate"
         or (warm_mode == "auto" and not distributed
             and not t2.prefers_shared_warm()))
+    deferrals: dict[int, int] = {}
     while True:
         frontier = P.frontier()
         if frontier.size == 0:
@@ -303,9 +304,35 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         stats.pivots += int(res.iters.sum())
         what = "phase1_primal loop" if phase1 else "phase2_primal loop"
         if not distributed:
-            # distributed mode defers the check until after the gather:
-            # a local raise would strand the peers in the collective
-            _check_all_optimal(res, what)
+            # a candidate whose LP did not resolve is DEFERRED: it
+            # stays on the frontier while this round's other cuts
+            # reshape the polytope, and is retried (bounded) in later
+            # rounds.  Aborting the whole solve on one straggler LP —
+            # the old behavior — threw away entire ex09 runs over a
+            # single budget-exhausted f32 instance.  No progress at
+            # all (every LP failed, or a vertex keeps failing) still
+            # raises.
+            bad = np.flatnonzero(res.status != simplex.OPTIMAL)
+            if bad.size == solve_idx.size:
+                _check_all_optimal(res, what)
+            if bad.size:
+                for k in bad:
+                    vid = int(solve_idx[k])
+                    deferrals[vid] = deferrals.get(vid, 0) + 1
+                    if deferrals[vid] > 5:
+                        raise RuntimeError(
+                            f"{what}: LP for vertex {vid} failed "
+                            f"{deferrals[vid]} rounds running (status "
+                            f"{res.status[k]})")
+                if verbose >= 2:
+                    print(f"[{what}] deferring {bad.size} unresolved "
+                          f"candidate(s) to a later round")
+                sel = np.flatnonzero(res.status == simplex.OPTIMAL)
+                solve_idx = solve_idx[sel]
+                res = simplex.LPResult(*(
+                    None if getattr(res, f.name) is None
+                    else np.asarray(getattr(res, f.name))[sel]
+                    for f in dataclasses.fields(simplex.LPResult)))
         W = t2.duals_w(res)                    # (B_local, q)
 
         # per-candidate cut data rows
