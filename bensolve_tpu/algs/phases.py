@@ -40,6 +40,10 @@ class Stats:
     rounds: int = 0
     cuts: int = 0
     pivots: int = 0   # total simplex pivots (warm-start efficacy metric)
+    loose_deferred: int = 0  # LPs deferred for loose quality (retried)
+    loose_cuts: int = 0      # cuts/finalizations accepted from
+    #   loose-quality LPs after retries were exhausted (reported so a
+    #   recorded run states how many cuts rode ~1e-2-error duals)
 
 
 class _FacetWarm:
@@ -117,7 +121,7 @@ def phase0(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     t2 = P2Template(vlp, P_eff, sol.Z, np.zeros(q), HOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
                     lp_method=opt.lp_method_phase0, mesh=opt.build_mesh(),
-                    max_batch=opt.lp_max_batch)
+                    max_batch=opt.lp_max_batch, ipm_min=opt.lp_ipm_min)
 
     # per-probe wall-clock at -m 2 (VERDICT r3 weak #4: a stalled huge
     # instance printed nothing between parse and kill — phase 0's q-1
@@ -211,7 +215,7 @@ def phase1_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     t2 = P2Template(vlp, P_eff, sol.Z, sol.eta, HOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
                     lp_method=opt.lp_method_phase1, mesh=opt.build_mesh(),
-                    max_batch=opt.lp_max_batch)
+                    max_batch=opt.lp_max_batch, ipm_min=opt.lp_ipm_min)
     p = sol.p
 
     if resume_pair is not None:
@@ -277,6 +281,7 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         or (warm_mode == "auto" and not distributed
             and not t2.prefers_shared_warm()))
     deferrals: dict[int, int] = {}
+    loose_defer: dict[int, int] = {}
     while True:
         frontier = P.frontier()
         if frontier.size == 0:
@@ -315,6 +320,11 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
             bad = np.flatnonzero(res.status != simplex.OPTIMAL)
             if bad.size == solve_idx.size:
                 _check_all_optimal(res, what)
+            if deferrals:
+                # a previously-deferred vertex whose LP now resolved is
+                # verified again — drop it from the deferral ledger
+                for k in np.flatnonzero(res.status == simplex.OPTIMAL):
+                    deferrals.pop(int(solve_idx[k]), None)
             if bad.size:
                 for k in bad:
                     vid = int(solve_idx[k])
@@ -333,6 +343,41 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                     None if getattr(res, f.name) is None
                     else np.asarray(getattr(res, f.name))[sel]
                     for f in dataclasses.fields(simplex.LPResult)))
+        any_loose_deferred = False
+        if not distributed and res.quality is not None:
+            # LOOSE-quality LPs (budget-exhausted f32 IPM accepted at up
+            # to 250x the dtype tolerance — duals carry ~1e-2 error, the
+            # same order as the large-example Benson epsilons): defer
+            # rather than cut, giving this round's clean cuts a chance
+            # to remove the vertex; after two retries the loose result
+            # is accepted and counted (stats.loose_cuts) so a recorded
+            # run reports exactly how many cuts rode loose duals.
+            # Match: the reference's GLPK-exactness contract
+            # (bslv_lp.c:219-259) — exact there, measured-and-bounded
+            # here.
+            loose = np.flatnonzero(res.quality == 2)
+            if loose.size:
+                keep = np.ones(solve_idx.size, bool)
+                for k in loose:
+                    vid = int(solve_idx[k])
+                    loose_defer[vid] = loose_defer.get(vid, 0) + 1
+                    if loose_defer[vid] <= 2:
+                        keep[k] = False
+                        stats.loose_deferred += 1
+                        any_loose_deferred = True
+                    else:
+                        stats.loose_cuts += 1
+                if not keep.all():
+                    if verbose >= 2:
+                        print(f"[{what}] deferring "
+                              f"{int((~keep).sum())} loose-quality "
+                              f"LP(s) to a later round")
+                    ksel = np.flatnonzero(keep)
+                    solve_idx = solve_idx[ksel]
+                    res = simplex.LPResult(*(
+                        None if getattr(res, f.name) is None
+                        else np.asarray(getattr(res, f.name))[ksel]
+                        for f in dataclasses.fields(simplex.LPResult)))
         W = t2.duals_w(res)                    # (B_local, q)
 
         # per-candidate cut data rows
@@ -388,7 +433,10 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
             passed_all = passed
             order = np.arange(idx_all.size)
 
-        progressed = False
+        # a loose deferral advances its retry counter, so counting it as
+        # progress cannot loop forever (acceptance is forced after two
+        # retries) and keeps the stall guard honest
+        progressed = any_loose_deferred
         round_cuts = round_final = 0
         for i in order:
             idx = int(idx_all[i])
@@ -418,7 +466,16 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                   f"{stats.lps} LPs total")
         if not progressed:
             # cannot happen for live vertices (a vertex always violates
-            # its own eps-passing cut); defensive stall guard
+            # its own eps-passing cut); defensive stall guard.  Deferred
+            # candidates (this round's FAILED LPs) are excluded: marking
+            # an unverified vertex as a solution vertex would silently
+            # corrupt the output (round-4 advisor finding).
+            unverified = [v for v in cand if v in deferrals]
+            if unverified:
+                raise RuntimeError(
+                    f"{what}: no progress while {len(unverified)} "
+                    f"candidate(s) have unresolved LPs "
+                    f"(e.g. vertex {unverified[0]})")
             P.sltn[cand] = True
             break
         if on_round is not None:
@@ -464,7 +521,7 @@ def phase2_primal(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     t2 = P2Template(vlp, P_eff, sol.R, sol.eta, INHOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
                     lp_method=opt.lp_method_phase2, mesh=opt.build_mesh(),
-                    max_batch=opt.lp_max_batch)
+                    max_batch=opt.lp_max_batch, ipm_min=opt.lp_ipm_min)
     r = sol.r
 
     if resume_pair is not None:
@@ -549,7 +606,7 @@ def phase1_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     t1 = P1Template(vlp, P_eff, sol.eta, HOMOGENEOUS, dtype=opt.lp_dtype,
                     lp_verbose=opt.lp_message_level,
                     lp_method=opt.lp_method_phase1, mesh=opt.build_mesh(),
-                    max_batch=opt.lp_max_batch)
+                    max_batch=opt.lp_max_batch, ipm_min=opt.lp_ipm_min)
 
     if resume_pair is not None:
         pair = resume_pair
@@ -724,7 +781,7 @@ def phase2_dual(sol: SolutionContext, vlp: VLPProblem, P_eff: np.ndarray,
     t1 = P1Template(vlp, P_eff, sol.eta, INHOMOGENEOUS,
                     dtype=opt.lp_dtype, lp_verbose=opt.lp_message_level,
                     lp_method=opt.lp_method_phase2, mesh=opt.build_mesh(),
-                    max_batch=opt.lp_max_batch)
+                    max_batch=opt.lp_max_batch, ipm_min=opt.lp_ipm_min)
 
     if resume_pair is not None:
         pair = resume_pair

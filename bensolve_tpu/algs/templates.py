@@ -40,8 +40,13 @@ class _TemplateBase:
     def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
                  lp_method: str = "auto", mesh=None,
-                 max_batch: int | None = None):
+                 max_batch: int | None = None,
+                 ipm_min: int = 0):
         self.dtype = np.dtype(dtype).type
+        # Options.lp_ipm_min: M+N threshold above which the router
+        # prefers the interior-point backend (0 = disabled; the
+        # BENSOLVE_IPM_MIN env var still works as an override)
+        self.ipm_min = ipm_min
         # Options.lp_max_batch: hard cap on LPs per device round; the
         # backends' own memory-budget chunking still applies below it
         self.max_batch = max_batch
@@ -100,17 +105,22 @@ class _TemplateBase:
 
             from bensolve_tpu.lp.simplex import _slice_warm
 
+            # snapshot the warm start ONCE so every chunk starts from the
+            # same pre-round basis — otherwise chunk k+1 would warm-start
+            # from chunk k's carried basis and lp_max_batch would not be
+            # result-neutral (round-4 advisor finding)
+            warm0 = start_basis if start_basis is not None else self._warm
             parts = []
             for s in range(0, B, self.max_batch):
                 sl = slice(s, min(s + self.max_batch, B))
                 parts.append(self._run(
                     A_lp, np.atleast_2d(obj)[sl], row_lb[sl], row_ub[sl],
                     col_lb[sl], col_ub[sl],
-                    start_basis=_slice_warm(start_basis, sl)))
-            return LPResult(*(np.concatenate(
-                [getattr(p, f.name) for p in parts])
-                if getattr(parts[0], f.name) is not None else None
-                for f in dataclasses.fields(LPResult)))
+                    start_basis=_slice_warm(warm0, sl)
+                    if warm0 is not None else None))
+            from bensolve_tpu.lp.simplex import concat_results
+
+            return concat_results(parts)
         warm = start_basis if start_basis is not None else self._warm
         if self.lp_method in ("dual_simplex", "dual_primal_simplex"):
             from bensolve_tpu.lp.dual_simplex import solve_batch_dual
@@ -128,7 +138,8 @@ class _TemplateBase:
             res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb,
                                    col_ub, start_basis=warm,
                                    dtype=self.dtype, mesh=self.mesh,
-                                   verbose=self.lp_verbose)
+                                   verbose=self.lp_verbose,
+                                   ipm_min=self.ipm_min)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round
@@ -178,9 +189,9 @@ class P2Template(_TemplateBase):
     def __init__(self, vlp, P_eff, ZR: np.ndarray, eta: np.ndarray,
                  homogeneous: bool, dtype=np.float64, lp_verbose: int = 0,
                  lp_method: str = "auto", mesh=None,
-                 max_batch: int | None = None):
+                 max_batch: int | None = None, ipm_min: int = 0):
         super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
-                         lp_method, mesh, max_batch)
+                         lp_method, mesh, max_batch, ipm_min)
         m, n, q = self.m, self.n, self.q
         ZR = np.asarray(ZR, float)
         self.p = ZR.shape[1]
@@ -260,9 +271,9 @@ class P1Template(_TemplateBase):
     def __init__(self, vlp, P_eff, eta: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
                  lp_method: str = "auto", mesh=None,
-                 max_batch: int | None = None):
+                 max_batch: int | None = None, ipm_min: int = 0):
         super().__init__(vlp, P_eff, homogeneous, dtype, lp_verbose,
-                         lp_method, mesh, max_batch)
+                         lp_method, mesh, max_batch, ipm_min)
         m, n, q = self.m, self.n, self.q
         A_lp = self._alloc_lp_matrix(1, 0)       # (m+q+1, n+q)
         A_lp[m + q, n:n + q] = np.asarray(eta, float)

@@ -25,7 +25,10 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
     else:
         M, N = np.asarray(A).shape
     mesh = kw.get("mesh")
-    if mesh is None and M + N >= _ipm_min_size():
+    # Options.lp_ipm_min (native routing) takes effect alongside the
+    # BENSOLVE_IPM_MIN env var: whichever enables the route wins
+    ipm_min = kw.pop("ipm_min", 0) or (1 << 62)
+    if mesh is None and M + N >= min(ipm_min, _ipm_min_size()):
         # huge instances: the per-pivot while-loop floor (~ms/step on
         # the TPU runtime, whatever M) makes every simplex variant
         # pivot-count-bound; the Mehrotra IPM solves in ~15-40 MXU

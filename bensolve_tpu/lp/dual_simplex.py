@@ -159,22 +159,39 @@ def _dual_feasible_mask(A, c, lb, ub, st) -> jnp.ndarray:
     return ~jnp.any(bad, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _solve_dual_jit(A, c, lb, ub, basis0, at_upper0, max_iter):
+@jax.jit
+def _dual_start_jit(A, c, lb, ub, basis0, at_upper0):
     st = sx._initial_state(A, c, lb, ub, basis0, at_upper0)
     ok = _dual_feasible_mask(A, c, lb, ub, st)
-    st = dataclasses.replace(
+    return dataclasses.replace(
         st, status=jnp.where((st.status == RUNNING) & ~ok,
                              DUAL_LOST, st.status))
 
-    def cond(s):
-        return jnp.any(s.status == RUNNING) & (s.step < max_iter)
 
-    st = jax.lax.while_loop(cond, lambda s: _dstep(A, c, lb, ub, st=s), st)
-    status = jnp.where(st.status == RUNNING, ITLIM, st.status)
-    obj, x, s_act, row_dual, col_dual = sx._final_solutions(A, c, lb, ub, st)
-    return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
-            st.at_upper)
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _dual_run_jit(A, c, lb, ub, st, seg, max_iter):
+    """Advance the dual pivot loop by at most ``seg`` steps — same
+    segmentation contract as simplex._tableau_run_jit (one unbounded
+    device program at P2-bench scale crashes the TPU worker)."""
+    seg_end = jnp.minimum(st.step + seg, max_iter)
+
+    def cond(s):
+        return jnp.any(s.status == RUNNING) & (s.step < seg_end)
+
+    return jax.lax.while_loop(cond, lambda s: _dstep(A, c, lb, ub, st=s), st)
+
+
+def _solve_dual_segmented(A, c, lb, ub, basis0, at_upper0, max_iter):
+    st = _dual_start_jit(A, c, lb, ub, basis0, at_upper0)
+    B, NT = c.shape
+    M = A.shape[-2]
+    seg = sx._tableau_segment_steps(B, M, NT, np.dtype(c.dtype).itemsize)
+    while True:
+        st = _dual_run_jit(A, c, lb, ub, st, seg, max_iter)
+        if (np.asarray(st.status) != RUNNING).all() \
+                or int(st.step) >= max_iter:
+            break
+    return sx._tableau_finish_jit(A, c, lb, ub, st)
 
 
 def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
@@ -207,8 +224,7 @@ def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 max_iter=max_iter, dtype=dtype,
                 start_basis=sx._slice_warm(start_basis, sl),
                 max_chunk=max_chunk, retry_primal=retry_primal))
-        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
-                          for f in dataclasses.fields(LPResult)))
+        return sx.concat_results(parts)
     B = c2.shape[0]
     Bp = sx._bucket_batch(B, Mp)
     if max_iter is None:
@@ -222,9 +238,10 @@ def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
         u0 = np.zeros(Mp + Np, bool)
     else:
         b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
-    out = _solve_dual_jit(prep.dev, jnp.asarray(full_c), jnp.asarray(lb),
-                          jnp.asarray(ub), jnp.asarray(b0, jnp.int32),
-                          jnp.asarray(u0, bool), max_iter)
+    out = _solve_dual_segmented(prep.dev, jnp.asarray(full_c),
+                                jnp.asarray(lb), jnp.asarray(ub),
+                                jnp.asarray(b0, jnp.int32),
+                                jnp.asarray(u0, bool), max_iter)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     res = LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],

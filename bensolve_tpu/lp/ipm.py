@@ -592,8 +592,9 @@ def _polish_one(As, z, y, zl, zu, l, u, c_s, max_rounds: int = 24):
 
 def _loose_kkt_ok(As, z, y, zl, zu, l, u, c_s, tol) -> bool:
     """Best-effort acceptance test for budget-exhausted instances: the
-    full KKT system within 100x of the dtype tolerance (relative
-    primal/dual residuals, bound feasibility, total complementarity)."""
+    full KKT system within 250x of the dtype tolerance (relative
+    primal/dual residuals, bound feasibility, total complementarity).
+    Acceptances here are surfaced as LPResult.quality == 2."""
     M, Nc = As.shape
     act = z[:Nc] @ As.T - z[Nc:]
     znorm = np.abs(z).max()
@@ -765,16 +766,32 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         if trace_on:
             carry = carry + (jnp.zeros((max_iter, 7), jnp.float32),)
         t_seg = _time.perf_counter()
+        # adaptive straggler budget: once most of the chunk has resolved,
+        # cap the remaining instances near 2x the median converged
+        # iteration count.  Stragglers at ex09 scale restart-cycle at
+        # ~0.45 s/iteration to the full budget (burning ~6 min/round for
+        # 2-4 LPs while the rest finish in 60-95 iterations) and their
+        # best iterate rarely improves past ~2x the pack's count — they
+        # are classified from the best iterate either way (VERDICT r4
+        # item 1a).  BENSOLVE_IPM_STRAGGLER_MULT tunes; 0 disables.
+        smult = float(os.environ.get("BENSOLVE_IPM_STRAGGLER_MULT", "2.0"))
+        cap = max_iter
         with _jax.default_matmul_precision(mm):
             while True:
                 carry = _ipm_seg_jit(A_dev, c_p, l_p, u_p, split_dev,
                                      carry, seg, max_iter)
                 st_h = np.asarray(carry[6])
                 it_h = np.asarray(carry[7])
-                done = (st_h >= 0).all() or int(it_h.max()) >= max_iter
+                fin = st_h >= 0
+                if (smult > 0 and cap == max_iter
+                        and fin.sum() >= max(1, (3 * Bp) // 4)):
+                    med = float(np.median(it_h[fin]))
+                    cap = int(min(max_iter, max(smult * med + 40, 120)))
+                run_it = int(it_h[~fin].max()) if (~fin).any() else 0
+                done = fin.all() or run_it >= cap
                 if verbose >= 2 and not done:
                     print(f"lp_solve[ipm]: segment it={int(it_h.max())} "
-                          f"running={int((st_h < 0).sum())}/{Bp} "
+                          f"running={int((~fin).sum())}/{Bp} cap={cap} "
                           f"({_time.perf_counter() - t_seg:.0f}s)",
                           flush=True)
                 if done:
@@ -831,6 +848,12 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     rounds_cap = 24 if M <= 512 else 6
     spent = 0.0
     n_skipped = 0
+    # provenance per instance: 0 raw device acceptance (strict OR the
+    # in-loop stall/salvage at <=100x tol — the device does not say
+    # which, so raw OPTIMALs get their quality MEASURED below),
+    # 1 polished (KKT-verified on host), 2 loose host acceptance
+    # (<=250x tol), 3 f64 simplex fallback (exact)
+    prov = np.zeros(B, np.int8)
     for i in range(B):
         if crossed[i]:
             continue
@@ -844,6 +867,7 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
             if ok:
                 z[i], y[i] = zp, yp
                 status[i] = OPTIMAL
+                prov[i] = 1
                 continue
         elif st in (OPTIMAL, -1) and do_polish:
             n_skipped += 1
@@ -862,7 +886,10 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 # beyond the polish/fallback gates (ex09 probes hover
                 # at pinf ~3e-3 after several restarts), where callers
                 # run Benson at the reference's own loose epsilons.
+                # Surfaced as quality=2 so the Benson loop can defer
+                # rather than silently cut with ~1e-2-error duals.
                 status[i] = OPTIMAL
+                prov[i] = 2
             else:
                 status[i] = ITLIM
         elif st == INFEASIBLE and not _farkas_infeasible(
@@ -923,21 +950,49 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         row_dual[fb] = res_fb.row_dual
         col_dual[fb] = res_fb.col_dual
         iters[fb] += res_fb.iters
+        prov[fb] = 3
+
+    # per-instance quality (LPResult.quality contract): polish and the
+    # f64 fallback are verified exact (0); host loose acceptances are 2;
+    # raw device OPTIMALs (strict convergence OR the in-loop 100x
+    # stall/salvage — indistinguishable from the status alone, the r4
+    # advisor finding) get their quality MEASURED from the f64 KKT
+    # residuals of the returned iterate.
+    tol0 = _params(dtype)[0]
+    quality = np.zeros(B, np.int32)
+    quality[prov == 2] = 2
+    raw = np.flatnonzero((status == OPTIMAL) & (prov == 0))
+    kkt_score = np.zeros(B)
+    if raw.size:
+        zr, yr = z[raw], y[raw]
+        act = zr[:, :Nc] @ As64.T - zr[:, Nc:]
+        pinf_r = np.abs(act).max(axis=1) / (
+            1.0 + np.abs(zr).max(axis=1))
+        rd = (c_s[raw] - np.concatenate([yr @ As64, -yr], axis=1)
+              - zl[raw] + zu[raw])
+        dinf_r = np.abs(np.where(l_s[raw] >= u_s[raw], 0.0, rd)).max(
+            axis=1) / (1.0 + np.abs(c_s).max())
+        has_lr = np.isfinite(l_s[raw]) & (l_s[raw] < u_s[raw])
+        has_ur = np.isfinite(u_s[raw]) & (l_s[raw] < u_s[raw])
+        with np.errstate(invalid="ignore"):
+            comp = (np.where(has_lr, np.maximum(zr - l_s[raw], 0.0)
+                             * zl[raw], 0.0).sum(axis=1)
+                    + np.where(has_ur, np.maximum(u_s[raw] - zr, 0.0)
+                               * zu[raw], 0.0).sum(axis=1))
+        gap_r = comp / (1.0 + np.abs(
+            np.einsum("bk,bk->b", c_s[raw], zr)))
+        score = np.maximum(np.maximum(pinf_r, dinf_r), gap_r)
+        kkt_score[raw] = score
+        quality[raw] = np.where(score < 10 * tol0, 0,
+                                np.where(score < 100 * tol0, 1, 2))
 
     if verbose >= 2:
         counts = dict(zip(*np.unique(status, return_counts=True)))
-        # final KKT diagnostics in f64 (one matvec per instance) — the
-        # observability VERDICT r3 asked for on the ex09 path
-        act = z[:, :Nc] @ As64.T - z[:, Nc:]
-        pinf = np.abs(act).max(axis=1) / (1.0 + np.abs(z).max(axis=1))
-        rd = (c_s - np.concatenate([y @ As64, -y], axis=1)
-              - np.asarray(zl) + np.asarray(zu))
-        dinf = np.abs(np.where(l_s >= u_s, 0.0, rd)).max(axis=1) / (
-            1.0 + np.abs(c_s).max())
+        qcounts = dict(zip(*np.unique(quality, return_counts=True)))
         print(f"lp_solve[ipm]: batch={B} statuses={counts} "
-              f"iters max={int(iters.max())} "
-              f"pinf max={pinf.max():.2e} dinf max={dinf.max():.2e}"
+              f"quality={qcounts} iters max={int(iters.max())} "
+              f"kkt max={kkt_score.max():.2e}"
               + (f" polish_skipped={n_skipped}" if n_skipped else ""),
               flush=True)
     return LPResult(status, obj, x, s, row_dual, col_dual,
-                    iters, None, None)
+                    iters, None, None, quality)

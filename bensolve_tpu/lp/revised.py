@@ -728,8 +728,7 @@ def solve_batch_revised(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 max_iter=max_iter, dtype=dtype,
                 start_basis=sx._slice_warm(start_basis, sl),
                 max_chunk=max_chunk, mesh=mesh, verbose=verbose))
-        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
-                          for f in dataclasses.fields(LPResult)))
+        return sx.concat_results(parts)
 
     B = c2.shape[0]
     Bp = sx._bucket_batch(B, Mp)

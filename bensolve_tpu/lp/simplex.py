@@ -89,6 +89,24 @@ class LPResult:
     iters: np.ndarray     # (B,) pivot count
     basis: np.ndarray | None = None  # (B, M) final basis (warm-start seed)
     at_upper: np.ndarray | None = None  # (B, M+N) nonbasic bound pattern
+    quality: np.ndarray | None = None  # (B,) int solution quality:
+    #   0 = clean (KKT residuals at the backend's own tolerance),
+    #   1 = salvaged (accepted at <=100x the dtype tolerance),
+    #   2 = loose (accepted at <=250x — budget-exhausted f32 IPM).
+    #   None (the simplex family) means clean: exact basic solutions.
+    #   Callers running at a tight epsilon can re-verify/defer quality>0
+    #   instances (the Benson loop defers quality==2, algs/phases.py).
+
+
+def concat_results(parts: list) -> "LPResult":
+    """Concatenate chunked LPResults field-wise; a field that is None in
+    any part (basis/at_upper/quality are backend-dependent) stays None."""
+    vals = []
+    for f in dataclasses.fields(LPResult):
+        cols = [getattr(p, f.name) for p in parts]
+        vals.append(None if any(v is None for v in cols)
+                    else np.concatenate(cols))
+    return LPResult(*vals)
 
 
 def _nb_value(lb, ub, at_upper):
@@ -466,29 +484,90 @@ def _final_solutions(A, c, lb, ub, st: _State, Bmat=None):
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "ssharding"))
 def _solve_batch_jit(A, c, lb, ub, max_iter, ssharding=None):
-    return _solve_core(A, c, lb, ub, None, max_iter, ssharding=ssharding)
-
-
-@functools.partial(jax.jit, static_argnames=("max_iter", "ssharding"))
-def _solve_batch_warm_jit(A, c, lb, ub, basis0, at_upper0, max_iter,
-                          ssharding=None):
-    return _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0,
-                       ssharding=ssharding)
-
-
-def _solve_core(A, c, lb, ub, basis0, max_iter, at_upper0=None,
-                ssharding=None):
-    st = _initial_state(A, c, lb, ub, basis0, at_upper0, ssharding)
+    """Whole-solve-in-one-program form, kept for callers that must stay
+    inside a single jittable function (the shard_map mesh path,
+    parallel/mesh.py:67, and the driver's compile witness).  Host-driven
+    production paths use _solve_tableau_segmented instead, which bounds
+    every device program's step count (see _tableau_run_jit)."""
+    st = _initial_state(A, c, lb, ub, ssharding=ssharding)
 
     def cond(s):
         return jnp.any(s.status == RUNNING) & (s.step < max_iter)
 
     st = jax.lax.while_loop(cond, lambda s: _step(A, c, lb, ub, st=s), st)
     status = jnp.where(st.status == RUNNING, ITLIM, st.status)
-
     obj, x, s_act, row_dual, col_dual = _final_solutions(A, c, lb, ub, st)
     return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
             st.at_upper)
+
+
+@functools.partial(jax.jit, static_argnames=("ssharding",))
+def _tableau_start_jit(A, c, lb, ub, ssharding=None):
+    return _initial_state(A, c, lb, ub, ssharding=ssharding)
+
+
+@functools.partial(jax.jit, static_argnames=("ssharding",))
+def _tableau_start_warm_jit(A, c, lb, ub, basis0, at_upper0,
+                            ssharding=None):
+    return _initial_state(A, c, lb, ub, basis0, at_upper0, ssharding)
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _tableau_run_jit(A, c, lb, ub, st, seg, max_iter):
+    """Advance the pivot loop by at most ``seg`` steps.  Bounding the
+    per-program step count keeps every device program short: a single
+    multi-minute XLA execution trips the remote-runtime watchdog and
+    crashes the TPU worker (observed on the revised/IPM paths in round 3
+    and on this tableau path at the P2 bench shape in round 4, where one
+    program spanned 154k pivots).  ``max_iter`` is traced so data-derived
+    caps never retrace the kernel."""
+    seg_end = jnp.minimum(st.step + seg, max_iter)
+
+    def cond(s):
+        return jnp.any(s.status == RUNNING) & (s.step < seg_end)
+
+    return jax.lax.while_loop(cond, lambda s: _step(A, c, lb, ub, st=s), st)
+
+
+@jax.jit
+def _tableau_finish_jit(A, c, lb, ub, st):
+    status = jnp.where(st.status == RUNNING, ITLIM, st.status)
+    obj, x, s_act, row_dual, col_dual = _final_solutions(A, c, lb, ub, st)
+    return (status, obj, x, s_act, row_dual, col_dual, st.iters, st.basis,
+            st.at_upper)
+
+
+def _tableau_segment_steps(B: int, M: int, NT: int, itemsize: int) -> int:
+    """Steps per device program, sized so one segment stays well under
+    the worker watchdog (~10-30 s): one tableau pivot streams W about
+    three times (reduced-cost pass, rank-1 read, rank-1 write)."""
+    per_step = 3 * B * M * NT * itemsize
+    return int(max(256, min(65536, 6e11 // max(per_step, 1))))
+
+
+def _solve_tableau_segmented(A, c, lb, ub, basis0, at_upper0, max_iter,
+                             ssharding=None, step_fn_jit=None):
+    """Host-side segment loop around the jitted tableau pivot kernel
+    (same structure as revised._solve_revised_segmented).  State stays on
+    device between segments; only status/step come back per segment.
+    ``step_fn_jit``: the segmented run kernel (primal pivots by default;
+    dual_simplex passes its own)."""
+    if step_fn_jit is None:
+        step_fn_jit = _tableau_run_jit
+    if basis0 is None:
+        st = _tableau_start_jit(A, c, lb, ub, ssharding=ssharding)
+    else:
+        st = _tableau_start_warm_jit(A, c, lb, ub, basis0, at_upper0,
+                                     ssharding=ssharding)
+    B, NT = c.shape
+    M = A.shape[-2]
+    seg = _tableau_segment_steps(B, M, NT, np.dtype(c.dtype).itemsize)
+    while True:
+        st = step_fn_jit(A, c, lb, ub, st, seg, max_iter)
+        status = np.asarray(st.status)
+        if (status != RUNNING).all() or int(st.step) >= max_iter:
+            break
+    return _tableau_finish_jit(A, c, lb, ub, st)
 
 
 def _bucket(x: int) -> int:
@@ -691,8 +770,7 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 max_iter=max_iter, dtype=dtype,
                 start_basis=_slice_warm(start_basis, sl),
                 max_chunk=chunk, mesh=mesh))
-        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
-                          for f in dataclasses.fields(LPResult)))
+        return concat_results(parts)
     M, N, Mp, Np = prep.M, prep.N, prep.Mp, prep.Np
     B = c2.shape[0]
     Bp = _bucket_batch(B, Mp)
@@ -716,12 +794,12 @@ def solve_batch(A, c, row_lb, row_ub, col_lb, col_ub, *,
                                        col_lb, col_ub, Bp, dtype)
 
     if start_basis is None:
-        out = _solve_batch_jit(A_dev, put(full_c),
-                               put(lb), put(ub), max_iter,
-                               ssharding=ssharding)
+        out = _solve_tableau_segmented(A_dev, put(full_c),
+                                       put(lb), put(ub), None, None,
+                                       max_iter, ssharding=ssharding)
     else:
         b0, u0 = _pad_warm(start_basis, Mp, Mp + Np, B, Bp)
-        out = _solve_batch_warm_jit(
+        out = _solve_tableau_segmented(
             A_dev, put(full_c), put(lb),
             put(ub), jnp.asarray(b0), jnp.asarray(u0), max_iter,
             ssharding=ssharding)
@@ -759,8 +837,7 @@ def _solve_batch_3d(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 np.asarray(col_ub)[sl], max_iter=max_iter, dtype=dtype,
                 start_basis=_slice_warm(start_basis, sl),
                 max_chunk=max_chunk, sharding=sharding))
-        return LPResult(*(np.concatenate([getattr(p, f.name) for p in parts])
-                          for f in dataclasses.fields(LPResult)))
+        return concat_results(parts)
 
     Mp, Np = _bucket(M), _bucket(N)
     Bp = _bucket_batch(B0, Mp)
@@ -794,11 +871,12 @@ def _solve_batch_3d(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 else jnp.asarray(x))
 
     if start_basis is None:
-        out = _solve_batch_jit(_put(A_p), _put(full_c),
-                               _put(lb), _put(ub), max_iter)
+        out = _solve_tableau_segmented(_put(A_p), _put(full_c),
+                                       _put(lb), _put(ub), None, None,
+                                       max_iter)
     else:
         b0, u0 = _pad_warm(start_basis, Mp, Mp + Np, B0, Bp)
-        out = _solve_batch_warm_jit(
+        out = _solve_tableau_segmented(
             _put(A_p), _put(full_c), _put(lb),
             _put(ub), _put(b0), _put(u0), max_iter)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (

@@ -72,6 +72,14 @@ class Options:
     write_files: bool = True       # emit the .sol/.log artifact family
     poly_test: bool = False        # run polytope integrity checks (POLY_TEST)
     lp_max_batch: int = 4096       # cap on LPs solved per device round
+    lp_ipm_min: int = 0            # M+N threshold above which Benson LP
+    #   batches route to the Mehrotra interior-point backend (lp/ipm.py)
+    #   instead of the simplex family.  0 disables (simplex everywhere).
+    #   The huge reference examples (ex09: m=4608, n=36939) are
+    #   pivot-count-bound on every simplex variant; the recorded route
+    #   uses lp_ipm_min=2000 with lp_dtype="float32" and the reference's
+    #   own -e 1e-2 (ex/example09.m:10,21).  Equivalent env override:
+    #   BENSOLVE_IPM_MIN.
     warm_mode: str = "auto"        # LP warm starts across Benson rounds:
     #   "per_candidate" seeds every frontier LP from the basis of the LP
     #   whose cut created it, "shared" carries one basis per template,

@@ -22,9 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
     "ex07": dict(eps_benson_phase2=0.05, lp_dtype="float32",
-                 message_level=2, env={"BENSOLVE_IPM_MIN": "2000"}),
+                 message_level=2, lp_ipm_min=2000, env={}),
     "ex09": dict(eps_benson_phase2=1e-2, lp_dtype="float32",
-                 message_level=2, env={"BENSOLVE_IPM_MIN": "2000"}),
+                 message_level=2, lp_ipm_min=2000, env={}),
     "ex10": dict(message_level=2, env={}),
 }
 

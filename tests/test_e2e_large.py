@@ -40,8 +40,12 @@ def test_ex10_bensolvehedron():
 
 def test_ex07_radiotherapy_loose_eps():
     # reference advice: -e 0.05 -l primal_simplex (ex/example07.m:9);
-    # float32 LP arithmetic is sufficient at this epsilon
-    r = run("ex07", eps_benson_phase2=0.05, lp_dtype="float32")
+    # float32 LP arithmetic is sufficient at this epsilon.  lp_ipm_min
+    # routes the large scalar LPs to the IPM backend — the same
+    # configuration slow_runner.py records (VERDICT r4 item 7: the
+    # acceptance test and the recorded route must match).
+    r = run("ex07", eps_benson_phase2=0.05, lp_dtype="float32",
+            lp_ipm_min=2000)
     assert r.status is SolStatus.OPTIMAL
     assert len(r.primal_points) > 10
     check_support(r, n_samples=8, tol=0.05)
@@ -49,9 +53,12 @@ def test_ex07_radiotherapy_loose_eps():
 
 def test_ex09_huge():
     # reference advice: -e 1e-2 -L primal_simplex -l primal_simplex
-    # (ex/example09.m:10,21).  q=3, m=4608, n=36939 — the revised-path
-    # memory-plan stress (support oracle at tol 1e-2, VERDICT r2 #2)
-    r = run("ex09", eps_benson_phase2=1e-2, lp_dtype="float32")
+    # (ex/example09.m:10,21).  q=3, m=4608, n=36939.  Same route as
+    # slow_runner.py: IPM for the huge LPs (every simplex variant is
+    # pivot-count-bound at this scale on the TPU runtime's ms/step
+    # floor, lp/ipm.py:4-17).
+    r = run("ex09", eps_benson_phase2=1e-2, lp_dtype="float32",
+            lp_ipm_min=2000)
     assert r.status is SolStatus.OPTIMAL
     assert len(r.primal_points) >= 3
     check_support(r, n_samples=4, tol=1e-2)
