@@ -60,13 +60,30 @@ class _FacetWarm:
 
     def record(self, facet, basis, at_upper) -> None:
         if self.enabled and facet is not None and basis is not None:
-            self.by_facet[int(facet)] = (self.serial, np.asarray(basis),
+            self.by_facet[int(facet)] = (self.serial, "basis",
+                                         np.asarray(basis),
                                          np.asarray(at_upper))
             self.serial += 1
 
+    def record_interior(self, facet, x, s, row_dual) -> None:
+        """IPM-route analogue of record(): the parent LP has no basis,
+        so the carried state is its interior solution (x, s, row_dual),
+        consumed by the IPM's shifted warm start (lp/ipm.py
+        _ipm_warm_init_jit).  A shared warm point measurably HURTS
+        non-parent instances (probe: 22-35 cold iters -> 43-61 warm
+        from a foreign point) — per-candidate parents are the only
+        sound variant."""
+        if self.enabled and facet is not None:
+            self.by_facet[int(facet)] = (self.serial, "interior",
+                                         np.asarray(x), np.asarray(s),
+                                         np.asarray(row_dual))
+            self.serial += 1
+
     def lookup(self, poly, cand):
-        """(B, M) parent bases for the candidate vertices, or None when
-        nothing is known yet (first round)."""
+        """Per-candidate parent warm data: (B, M) bases + bound
+        patterns for the simplex route, or ("interior", X, S, RD)
+        stacks for the IPM route; None when nothing is known yet or
+        the recorded kinds are mixed."""
         if not self.enabled or not self.by_facet:
             return None
         rows = []
@@ -80,8 +97,17 @@ class _FacetWarm:
         if all(r is None for r in rows):
             return None
         fill = next(r for r in rows if r is not None)
-        basis = np.stack([(r if r is not None else fill)[1] for r in rows])
-        atup = np.stack([(r if r is not None else fill)[2] for r in rows])
+        rows = [r if r is not None else fill for r in rows]
+        kinds = {r[1] for r in rows}
+        if kinds != {"basis"} and kinds != {"interior"}:
+            return None
+        if kinds == {"interior"}:
+            return ("interior",
+                    np.stack([r[2] for r in rows]),
+                    np.stack([r[3] for r in rows]),
+                    np.stack([r[4] for r in rows]))
+        basis = np.stack([r[2] for r in rows])
+        atup = np.stack([r[3] for r in rows])
         return basis, atup
 
 
@@ -453,6 +479,13 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                     if not distributed and res.basis is not None:
                         warm.record(pair.last_added, res.basis[i],
                                     res.at_upper[i])
+                    elif (not distributed and res.basis is None
+                          and (res.quality is None
+                               or res.quality[i] == 0)):
+                        # IPM route: carry the parent's CLEAN interior
+                        # solution (loose parents would poison children)
+                        warm.record_interior(pair.last_added, res.x[i],
+                                             res.s[i], res.row_dual[i])
             else:
                 P.sltn[idx] = True
                 round_final += 1
@@ -752,6 +785,13 @@ def _benson_dual_loop(pair: PolytopePair, t1: P1Template,
                     if not distributed and res.basis is not None:
                         warm.record(pair.last_added, res.basis[i],
                                     res.at_upper[i])
+                    elif (not distributed and res.basis is None
+                          and (res.quality is None
+                               or res.quality[i] == 0)):
+                        # IPM route: carry the parent's CLEAN interior
+                        # solution (loose parents would poison children)
+                        warm.record_interior(pair.last_added, res.x[i],
+                                             res.s[i], res.row_dual[i])
             else:
                 P.sltn[idx] = True
                 round_final += 1

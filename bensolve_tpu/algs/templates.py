@@ -97,31 +97,45 @@ class _TemplateBase:
         M, N = self.A_lp.shape
         return N < revised.REVISED_RATIO * M
 
+    @staticmethod
+    def _is_interior_warm(w) -> bool:
+        return isinstance(w, tuple) and len(w) == 4 and w[0] == "interior"
+
     def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub,
              start_basis=None) -> LPResult:
         B = np.atleast_2d(obj).shape[0]
         if self.max_batch and B > self.max_batch:
-            import dataclasses
-
-            from bensolve_tpu.lp.simplex import _slice_warm
+            from bensolve_tpu.lp.simplex import _slice_warm, concat_results
 
             # snapshot the warm start ONCE so every chunk starts from the
             # same pre-round basis — otherwise chunk k+1 would warm-start
             # from chunk k's carried basis and lp_max_batch would not be
             # result-neutral (round-4 advisor finding)
             warm0 = start_basis if start_basis is not None else self._warm
+
+            def _chunk_warm(sl):
+                if warm0 is None:
+                    return None
+                if self._is_interior_warm(warm0):
+                    return ("interior", warm0[1][sl], warm0[2][sl],
+                            warm0[3][sl])
+                return _slice_warm(warm0, sl)
+
             parts = []
             for s in range(0, B, self.max_batch):
                 sl = slice(s, min(s + self.max_batch, B))
                 parts.append(self._run(
                     A_lp, np.atleast_2d(obj)[sl], row_lb[sl], row_ub[sl],
-                    col_lb[sl], col_ub[sl],
-                    start_basis=_slice_warm(warm0, sl)
-                    if warm0 is not None else None))
-            from bensolve_tpu.lp.simplex import concat_results
-
+                    col_lb[sl], col_ub[sl], start_basis=_chunk_warm(sl)))
             return concat_results(parts)
         warm = start_basis if start_basis is not None else self._warm
+        warm_interior = getattr(self, "_warm_interior", None)
+        if self._is_interior_warm(warm):
+            # per-candidate parent INTERIOR solutions (_FacetWarm
+            # record_interior): consumed by the IPM's shifted warm
+            # start, never by a simplex start_basis
+            warm_interior = (warm[1], warm[2], warm[3])
+            warm = None
         if self.lp_method in ("dual_simplex", "dual_primal_simplex"):
             from bensolve_tpu.lp.dual_simplex import solve_batch_dual
 
@@ -139,11 +153,21 @@ class _TemplateBase:
                                    col_ub, start_basis=warm,
                                    dtype=self.dtype, mesh=self.mesh,
                                    verbose=self.lp_verbose,
-                                   ipm_min=self.ipm_min)
+                                   ipm_min=self.ipm_min,
+                                   warm_interior=warm_interior)
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round
             self._warm = (res.basis[int(ok[0])], res.at_upper[int(ok[0])])
+        elif ok.size and res.basis is None:
+            # IPM result: carry a CLEAN interior solution into the next
+            # round's warm start (the IPM analogue of the carried basis)
+            clean = (ok if res.quality is None
+                     else ok[res.quality[ok] == 0])
+            if clean.size:
+                i = int(clean[0])
+                self._warm_interior = (res.x[i].copy(), res.s[i].copy(),
+                                       res.row_dual[i].copy())
         if self.lp_verbose >= 2:
             counts = dict(zip(*np.unique(res.status, return_counts=True)))
             print(f"lp_solve: batch={res.status.size} "

@@ -28,6 +28,7 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
     # Options.lp_ipm_min (native routing) takes effect alongside the
     # BENSOLVE_IPM_MIN env var: whichever enables the route wins
     ipm_min = kw.pop("ipm_min", 0) or (1 << 62)
+    warm_interior = kw.pop("warm_interior", None)
     if mesh is None and M + N >= min(ipm_min, _ipm_min_size()):
         # huge instances: the per-pivot while-loop floor (~ms/step on
         # the TPU runtime, whatever M) makes every simplex variant
@@ -40,7 +41,8 @@ def solve_batch_auto(A, c, row_lb, row_ub, col_lb, col_ub, **kw):
             ipm_kw["max_iter"] = kw["max_iter"]
         return ipm.solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub,
                                    dtype=kw.get("dtype", np.float64),
-                                   verbose=kw.get("verbose", 0), **ipm_kw)
+                                   verbose=kw.get("verbose", 0),
+                                   warm_interior=warm_interior, **ipm_kw)
     if N >= revised.REVISED_RATIO * M:
         return revised.solve_batch_revised(A, c, row_lb, row_ub,
                                            col_lb, col_ub, **kw)

@@ -154,6 +154,45 @@ def _ipm_init_jit(c, l, u, M):
             z0, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
 
 
+# Warm-start interiorization (Gondzio-style): how far inside the box
+# the carried primal point is pushed, and the centered barrier level
+# the multipliers restart at.  Benson re-solves differ only in a few
+# extra-row bounds, so the previous round's converged point is a few
+# steps from the new central path — but starting ON the boundary stalls
+# Mehrotra, hence the shift.
+WARM_MARGIN = 1e-3
+WARM_MU0 = 1e-3
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _ipm_warm_init_jit(c, l, u, z0, y0, M):
+    """Initial carry from a carried interior point (z0, y0) in the
+    SCALED space: primal pushed WARM_MARGIN inside every finite bound;
+    bound multipliers set to WARM_MU0 / distance so every barrier pair
+    starts exactly centered at mu = WARM_MU0 — two decades below the
+    cold start's mu ~ 1.  The TPU-native analogue of GLPK's carried
+    basis (bslv_lp.c:31) for the IPM route."""
+    dtype = c.dtype
+    B, K = c.shape
+    has_l = jnp.isfinite(l)
+    has_u = jnp.isfinite(u)
+    fixed = has_l & has_u & (u - l <= 0)
+    narrow = has_l & has_u & ~fixed & (u - l < 2.5 * WARM_MARGIN)
+    z = jnp.where(has_l, jnp.maximum(z0, l + WARM_MARGIN), z0)
+    z = jnp.where(has_u, jnp.minimum(z, u - WARM_MARGIN), z)
+    z = jnp.where(narrow, 0.5 * (l + u), jnp.where(fixed, l, z))
+    p0 = jnp.where(has_l & ~fixed, jnp.maximum(z - l, 1e-8), 1.0)
+    w0 = jnp.where(has_u & ~fixed, jnp.maximum(u - z, 1e-8), 1.0)
+    zl0 = jnp.where(has_l & ~fixed, WARM_MU0 / p0, 0.0).astype(dtype)
+    zu0 = jnp.where(has_u & ~fixed, WARM_MU0 / w0, 0.0).astype(dtype)
+    status0 = jnp.full(B, -1, jnp.int32)
+    return (z, y0, zl0, zu0, p0, w0, status0,
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, WARM_MU0, dtype),
+            jnp.zeros(B, jnp.int32),
+            z, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
+
+
 def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
     """Advance the IPM by at most ``seg`` iterations from ``carry0``.
     c, l, u: (B, K) with K = N + M (x then s).  ``split``: (nf, 2)
@@ -665,13 +704,18 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     max_iter: int = 800, dtype=np.float32,
                     verbose: int = 0, polish: bool | None = None,
                     max_chunk: int | None = None,
+                    warm_interior=None,
                     **_ignored) -> LPResult:
     """solve_batch-compatible entry (basis/at_upper come back None).
     Extra keyword arguments accepted by the simplex backends
     (start_basis, ...) are ignored — an IPM neither consumes nor
-    produces a basis.  The batch is chunked against an HBM budget (the
-    per-instance normal matrix + factor is 2*M*M*itemsize;
-    BENSOLVE_IPM_BYTES overrides)."""
+    produces a basis.  ``warm_interior``: an (x, s, row_dual) triple
+    from a related previous solve (e.g. the prior Benson round's
+    converged LP, templates._run) used as a shifted interior start —
+    the IPM's analogue of the reference's carried basis
+    (bslv_lp.c:31); BENSOLVE_IPM_WARM=0 disables.  The batch is
+    chunked against an HBM budget (the per-instance normal matrix +
+    factor is 2*M*M*itemsize; BENSOLVE_IPM_BYTES overrides)."""
     dtype = np.dtype(dtype).type
     sc = _scale(A, dtype)
     M, N = sc.As.shape
@@ -725,6 +769,35 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     # the memory budget
     chunk = 1 << (chunk.bit_length() - 1)
 
+    # carried interior start, mapped into the scaled/split space:
+    # x' = x/cv, s' = s*r, y = row_dual/r; free-split pairs rebuilt with
+    # min(x+, x-) = 1 (the same common mode the recentering keeps)
+    warm = None
+    if (warm_interior is not None
+            and os.environ.get("BENSOLVE_IPM_WARM", "1") != "0"):
+        wx, ws, wrd = (np.atleast_2d(np.asarray(a, np.float64))
+                       for a in warm_interior)
+        shapes_ok = (wx.shape[-1] == N and ws.shape[-1] == M
+                     and wrd.shape[-1] == M
+                     and wx.shape[0] in (1, B)
+                     and ws.shape[0] == wx.shape[0]
+                     and wrd.shape[0] == wx.shape[0])
+        if (shapes_ok and np.isfinite(wx).all()
+                and np.isfinite(ws).all() and np.isfinite(wrd).all()):
+            Bw = wx.shape[0]
+            xw = wx / cv[None, :]
+            zw = np.concatenate(
+                [xw, np.zeros((Bw, nf)), ws * r[None, :]], axis=1)
+            if nf:
+                zp = np.maximum(xw[:, free_col], 0.0) + 1.0
+                zw[:, free_col] = zp
+                zw[:, N:N + nf] = zp - xw[:, free_col]
+            yw = wrd / r[None, :]
+            if Bw == 1:
+                zw = np.broadcast_to(zw, (B, zw.shape[1]))
+                yw = np.broadcast_to(yw, (B, M))
+            warm = (zw, yw)       # (B, K), (B, M)
+
     from bensolve_tpu.lp import ensure_compile_cache
 
     ensure_compile_cache()
@@ -762,7 +835,11 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         trace_on = os.environ.get("BENSOLVE_IPM_TRACE") == "1"
         seg = int(os.environ.get("BENSOLVE_IPM_SEG", "60"))
         c_p, l_p, u_p = _pad(c_s), _pad(l_s), _pad(u_s)
-        carry = _ipm_init_jit(c_p, l_p, u_p, M)
+        if warm is not None:
+            carry = _ipm_warm_init_jit(c_p, l_p, u_p, _pad(warm[0]),
+                                       _pad(warm[1]), M)
+        else:
+            carry = _ipm_init_jit(c_p, l_p, u_p, M)
         if trace_on:
             carry = carry + (jnp.zeros((max_iter, 7), jnp.float32),)
         t_seg = _time.perf_counter()

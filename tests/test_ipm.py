@@ -185,3 +185,24 @@ def test_ipm_p2_template_shape():
     np.testing.assert_allclose(res_i.obj[ok], res_s.obj[ok], atol=1e-6)
     np.testing.assert_allclose(res_i.row_dual[ok], res_s.row_dual[ok],
                                atol=1e-4)
+
+
+def test_ipm_warm_interior_start():
+    """Carried-interior warm start (templates._run -> solve_batch_ipm
+    warm_interior): a re-solve with slightly changed row bounds from
+    the previous solution's interior point must converge to the same
+    optimum, in no more iterations than a cold solve."""
+    A, c, rlb, rub, clb, cub = random_lp(12, 18, 4, seed=21,
+                                         free_cols=2)
+    cold = solve_batch_ipm(A, c, rlb, rub, clb, cub, dtype=np.float64)
+    assert (cold.status == simplex.OPTIMAL).all()
+    rub2 = rub * 0.995
+    cold2 = solve_batch_ipm(A, c, rlb, rub2, clb, cub, dtype=np.float64)
+    wi = (cold.x[0], cold.s[0], cold.row_dual[0])
+    warm2 = solve_batch_ipm(A, c, rlb, rub2, clb, cub, dtype=np.float64,
+                            warm_interior=wi)
+    assert (warm2.status == simplex.OPTIMAL).all()
+    np.testing.assert_allclose(warm2.obj, cold2.obj, rtol=1e-6,
+                               atol=1e-6)
+    # warm must not be slower on the instance that supplied the point
+    assert int(warm2.iters[0]) <= int(cold2.iters[0])
