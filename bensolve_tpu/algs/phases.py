@@ -79,6 +79,17 @@ class _FacetWarm:
                                          np.asarray(row_dual))
             self.serial += 1
 
+    def record_state_row(self, facet, row, solve_no) -> None:
+        """Kept-device-tableau analogue of record(): the parent solve's
+        final tableau lives on device (templates._run keep_state /
+        simplex.KeptState), so the carried datum is just the parent's
+        ROW INDEX in that solve plus the solve number — the warm start
+        becomes one gather instead of a batched LU."""
+        if self.enabled and facet is not None:
+            self.by_facet[int(facet)] = (self.serial, "row", int(row),
+                                         int(solve_no))
+            self.serial += 1
+
     def lookup(self, poly, cand):
         """Per-candidate parent warm data: (B, M) bases + bound
         patterns for the simplex route, or ("interior", X, S, RD)
@@ -99,6 +110,21 @@ class _FacetWarm:
         fill = next(r for r in rows if r is not None)
         rows = [r if r is not None else fill for r in rows]
         kinds = {r[1] for r in rows}
+        if "row" in kinds:
+            # kept-state rows are only gatherable from the LATEST
+            # solve's tableau; stale or non-row parents borrow the
+            # newest row.  Borrowing is SAFE for the dual-warm route:
+            # dual feasibility of an optimal basis depends only on
+            # (basis, bound pattern, objective) — all P2 instances
+            # share the objective — never on the changed bounds, so a
+            # foreign parent row costs extra pivots, not correctness.
+            latest = max(r[3] for r in rows if r[1] == "row")
+            fill2 = next(r for r in rows
+                         if r[1] == "row" and r[3] == latest)
+            rows = [r if r[1] == "row" and r[3] == latest else fill2
+                    for r in rows]
+            return ("state_rows",
+                    np.array([r[2] for r in rows], np.int32), latest)
         if kinds != {"basis"} and kinds != {"interior"}:
             return None
         if kinds == {"interior"}:
@@ -333,6 +359,10 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                        start_basis=warm.lookup(P, solve_idx))
         stats.lps += cand.size
         stats.pivots += int(res.iters.sum())
+        # row index of each surviving result in the SOLVE batch — the
+        # kept-state warm chain records these, and the deferral filters
+        # below must keep the mapping aligned
+        orig_rows = np.arange(solve_idx.size)
         what = "phase1_primal loop" if phase1 else "phase2_primal loop"
         if not distributed:
             # a candidate whose LP did not resolve is DEFERRED: it
@@ -365,6 +395,7 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                           f"candidate(s) to a later round")
                 sel = np.flatnonzero(res.status == simplex.OPTIMAL)
                 solve_idx = solve_idx[sel]
+                orig_rows = orig_rows[sel]
                 res = simplex.LPResult(*(
                     None if getattr(res, f.name) is None
                     else np.asarray(getattr(res, f.name))[sel]
@@ -400,6 +431,7 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                               f"LP(s) to a later round")
                     ksel = np.flatnonzero(keep)
                     solve_idx = solve_idx[ksel]
+                    orig_rows = orig_rows[ksel]
                     res = simplex.LPResult(*(
                         None if getattr(res, f.name) is None
                         else np.asarray(getattr(res, f.name))[ksel]
@@ -476,7 +508,13 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                     progressed = True
                     if verbose >= 3:   # bslv_algs.c:888
                         print("add dual vertex")
-                    if not distributed and res.basis is not None:
+                    if not distributed and t2.state_available():
+                        # parent tableau kept on device: record only
+                        # the row index (gather-based warm start)
+                        warm.record_state_row(pair.last_added,
+                                              orig_rows[i],
+                                              t2.last_solve_no)
+                    elif not distributed and res.basis is not None:
                         warm.record(pair.last_added, res.basis[i],
                                     res.at_upper[i])
                     elif (not distributed and res.basis is None

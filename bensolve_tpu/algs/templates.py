@@ -37,6 +37,11 @@ INHOMOGENEOUS = False
 
 
 class _TemplateBase:
+    # True (P2) when per-candidate re-solves change only row BOUNDS, so
+    # a parent optimal basis stays dual feasible (the dual-warm and
+    # kept-state routes); P1 re-solves change the objective instead
+    _bound_change_resolve = False
+
     def __init__(self, vlp: VLPProblem, P_eff: np.ndarray, homogeneous: bool,
                  dtype=np.float64, lp_verbose: int = 0,
                  lp_method: str = "auto", mesh=None,
@@ -101,9 +106,28 @@ class _TemplateBase:
     def _is_interior_warm(w) -> bool:
         return isinstance(w, tuple) and len(w) == 4 and w[0] == "interior"
 
+    @staticmethod
+    def _is_state_rows(w) -> bool:
+        return isinstance(w, tuple) and len(w) == 3 and w[0] == "state_rows"
+
+    # device bytes allowed for a kept warm-chain tableau
+    STATE_KEEP_BYTES = int(2e9)
+
+    def state_available(self) -> bool:
+        """True when the LAST _run kept its final tableau on device, so
+        the Benson loop should record per-candidate STATE ROWS
+        (_FacetWarm.record_state_row) instead of basis copies."""
+        return (getattr(self, "_kept_state", None) is not None
+                and getattr(self, "_kept_solve_no", -1)
+                == getattr(self, "last_solve_no", 0))
+
     def _run(self, A_lp, obj, row_lb, row_ub, col_lb, col_ub,
-             start_basis=None) -> LPResult:
+             start_basis=None, _chunked=False) -> LPResult:
+        import os
+
         B = np.atleast_2d(obj).shape[0]
+        if not _chunked:
+            self.last_solve_no = getattr(self, "last_solve_no", 0) + 1
         if self.max_batch and B > self.max_batch:
             from bensolve_tpu.lp.simplex import _slice_warm, concat_results
 
@@ -119,6 +143,9 @@ class _TemplateBase:
                 if self._is_interior_warm(warm0):
                     return ("interior", warm0[1][sl], warm0[2][sl],
                             warm0[3][sl])
+                if self._is_state_rows(warm0):
+                    return ("state_rows", np.asarray(warm0[1])[sl],
+                            warm0[2])
                 return _slice_warm(warm0, sl)
 
             parts = []
@@ -126,28 +153,65 @@ class _TemplateBase:
                 sl = slice(s, min(s + self.max_batch, B))
                 parts.append(self._run(
                     A_lp, np.atleast_2d(obj)[sl], row_lb[sl], row_ub[sl],
-                    col_lb[sl], col_ub[sl], start_basis=_chunk_warm(sl)))
+                    col_lb[sl], col_ub[sl], start_basis=_chunk_warm(sl),
+                    _chunked=True))
+            # chunk results do not share one kept state; drop any
+            self._kept_state = None
             return concat_results(parts)
         warm = start_basis if start_basis is not None else self._warm
         warm_interior = getattr(self, "_warm_interior", None)
+        state_rows = None
         if self._is_interior_warm(warm):
             # per-candidate parent INTERIOR solutions (_FacetWarm
             # record_interior): consumed by the IPM's shifted warm
             # start, never by a simplex start_basis
             warm_interior = (warm[1], warm[2], warm[3])
             warm = None
-        if self.lp_method in ("dual_simplex", "dual_primal_simplex"):
+        elif self._is_state_rows(warm):
+            # per-candidate parent rows of the kept device tableau
+            # (_FacetWarm.record_state_row) — a gather-based warm start
+            # that skips both batched LUs (simplex.KeptState)
+            ks = getattr(self, "_kept_state", None)
+            if (ks is not None
+                    and getattr(self, "_kept_solve_no", -1) == warm[2]):
+                state_rows = (ks, np.asarray(warm[1], np.int32))
+            warm = self._warm
+        from bensolve_tpu.lp.simplex import STATE_WARM_MAX_AGE, _bucket
+
+        age_cap = (STATE_WARM_MAX_AGE
+                   if np.dtype(self.dtype) == np.dtype(np.float64)
+                   else STATE_WARM_MAX_AGE // 4)
+        M0, N0 = A_lp.shape if not hasattr(A_lp, "M") else (A_lp.M, A_lp.N)
+        keep = (not _chunked and self._bound_change_resolve
+                and self.mesh is None
+                and os.environ.get("BENSOLVE_NO_STATE_WARM") != "1"
+                and max(B, 8) * _bucket(M0) * (_bucket(M0) + _bucket(N0))
+                * np.dtype(self.dtype).itemsize <= self.STATE_KEEP_BYTES)
+        dual_route = (
+            self.lp_method in ("dual_simplex", "dual_primal_simplex")
+            or (self.lp_method == "auto"
+                and self._use_dual_warm(
+                    warm if warm is not None else state_rows)))
+        if dual_route:
             from bensolve_tpu.lp.dual_simplex import solve_batch_dual
 
-            res = solve_batch_dual(A_lp, obj, row_lb, row_ub, col_lb,
+            out = solve_batch_dual(A_lp, obj, row_lb, row_ub, col_lb,
                                    col_ub, start_basis=warm,
-                                   dtype=self.dtype)
-        elif self.lp_method == "auto" and self._use_dual_warm(warm):
-            from bensolve_tpu.lp.dual_simplex import solve_batch_dual
-
-            res = solve_batch_dual(A_lp, obj, row_lb, row_ub, col_lb,
-                                   col_ub, start_basis=warm,
-                                   dtype=self.dtype)
+                                   dtype=self.dtype,
+                                   start_state=state_rows,
+                                   keep_state=keep)
+            if keep:
+                res, kept = out
+                if kept is not None and kept.age <= age_cap:
+                    self._kept_state = kept
+                    self._kept_solve_no = self.last_solve_no
+                else:
+                    # drift cap reached (or retry invalidated the
+                    # state): next round's basis warm refactorizes and
+                    # restarts the chain
+                    self._kept_state = None
+            else:
+                res = out
         else:
             res = solve_batch_auto(A_lp, obj, row_lb, row_ub, col_lb,
                                    col_ub, start_basis=warm,
@@ -155,6 +219,7 @@ class _TemplateBase:
                                    verbose=self.lp_verbose,
                                    ipm_min=self.ipm_min,
                                    warm_interior=warm_interior)
+            self._kept_state = None
         ok = np.flatnonzero(res.status == simplex.OPTIMAL)
         if ok.size and res.basis is not None:
             # carry basis AND nonbasic bound pattern into the next round

@@ -168,6 +168,18 @@ def _dual_start_jit(A, c, lb, ub, basis0, at_upper0):
                              DUAL_LOST, st.status))
 
 
+@jax.jit
+def _dual_start_from_state_jit(A, c, lb, ub, basis_s, in_basis_s,
+                               at_upper_s, W_s, idx):
+    st = sx._tableau_start_from_state_jit(A, c, lb, ub, basis_s,
+                                          in_basis_s, at_upper_s, W_s,
+                                          idx)
+    ok = _dual_feasible_mask(A, c, lb, ub, st)
+    return dataclasses.replace(
+        st, status=jnp.where((st.status == RUNNING) & ~ok,
+                             DUAL_LOST, st.status))
+
+
 @functools.partial(jax.jit, static_argnames=("seg",))
 def _dual_run_jit(A, c, lb, ub, st, seg, max_iter):
     """Advance the dual pivot loop by at most ``seg`` steps — same
@@ -181,28 +193,66 @@ def _dual_run_jit(A, c, lb, ub, st, seg, max_iter):
     return jax.lax.while_loop(cond, lambda s: _dstep(A, c, lb, ub, st=s), st)
 
 
-def _solve_dual_segmented(A, c, lb, ub, basis0, at_upper0, max_iter):
-    st = _dual_start_jit(A, c, lb, ub, basis0, at_upper0)
+def _solve_dual_segmented(A, c, lb, ub, basis0, at_upper0, max_iter,
+                          state_warm=None, keep_state=False):
+    """``state_warm``: (KeptState, idx (Bp,)) — gather-based warm start
+    from a previous solve's kept tableau (no factorizations).
+    ``keep_state``: also return the final state as a KeptState for the
+    NEXT round; age accounts for the carried rank-1 drift."""
+    age0 = 0
+    if state_warm is not None:
+        ks, idx = state_warm
+        age0 = ks.age
+        st = _dual_start_from_state_jit(A, c, lb, ub, ks.basis,
+                                        ks.in_basis, ks.at_upper, ks.W,
+                                        jnp.asarray(idx, jnp.int32))
+    else:
+        st = _dual_start_jit(A, c, lb, ub, basis0, at_upper0)
     B, NT = c.shape
     M = A.shape[-2]
     seg = sx._tableau_segment_steps(B, M, NT, np.dtype(c.dtype).itemsize)
     while True:
         st = _dual_run_jit(A, c, lb, ub, st, seg, max_iter)
-        if (np.asarray(st.status) != RUNNING).all() \
-                or int(st.step) >= max_iter:
+        status = np.asarray(st.status)
+        if (status != RUNNING).all() or int(st.step) >= max_iter:
             break
-    return sx._tableau_finish_jit(A, c, lb, ub, st)
+    max_piv = int(np.asarray(st.iters).max())
+    # drift carried by the state's W: the inherited chain age plus this
+    # solve's pivots (a start WITHOUT state_warm began from an exact
+    # LU or from E itself, so its chain starts at max_piv)
+    age = (age0 + max_piv) if state_warm is not None else max_piv
+    cap = (sx.STATE_WARM_MAX_AGE
+           if c.dtype == jnp.float64 else sx.STATE_WARM_MAX_AGE // 4)
+    # LU-free finish only when the whole batch terminated OPTIMAL and
+    # the warm chain's accumulated drift stays within the cap; anything
+    # else gets the refactorized (exact) finish
+    if (state_warm is not None and age <= cap
+            and (status == OPTIMAL).all()):
+        out = sx._tableau_cheap_finish_jit(A, c, lb, ub, st)
+    else:
+        out = sx._tableau_finish_jit(A, c, lb, ub, st)
+    kept = sx._keep_state(st, age) if keep_state else None
+    return out, kept
 
 
 def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
                      max_iter: int | None = None, dtype=np.float64,
                      start_basis=None, max_chunk: int | None = None,
-                     retry_primal: bool = True) -> LPResult:
+                     retry_primal: bool = True, start_state=None,
+                     keep_state: bool = False):
     """Dual simplex over the batch; instances whose start basis is not
     dual feasible (or that hit the iteration cap, when ``retry_primal``)
     are re-solved with the primal solver from the same basis — the
     batched equivalent of GLPK's GLP_DUALP dual->primal fallback
     (bslv_lp.c:190-192, 219-259).
+
+    ``start_state``: (KeptState, idx (B,)) — warm start by gathering
+    parent rows of a previous solve's kept device tableau, eliminating
+    BOTH batched LUs of the warm path (see simplex.KeptState).
+    ``keep_state``: return ``(LPResult, KeptState | None)`` so the
+    caller can chain the next round's warm start; the kept state is
+    dropped (None) when any instance took the primal retry (its rows
+    would not describe the returned solution).
 
     Batches larger than ``max_chunk`` (default: the largest power-of-two
     batch whose (B, M, M+N) tableau fits TABLEAU_BYTES_BUDGET, same rule
@@ -215,33 +265,65 @@ def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
         max_chunk = sx._auto_chunk(M, N, np.dtype(dtype).itemsize)
     c2 = np.atleast_2d(np.asarray(c))
     if c2.shape[0] > max_chunk:
-        parts = []
+        parts, keeps = [], []
         for s in range(0, c2.shape[0], max_chunk):
             sl = slice(s, s + max_chunk)
-            parts.append(solve_batch_dual(
+            sub_state = (None if start_state is None else
+                         (start_state[0],
+                          np.asarray(start_state[1])[sl]))
+            out = solve_batch_dual(
                 prep, c2[sl], np.asarray(row_lb)[sl], np.asarray(row_ub)[sl],
                 np.asarray(col_lb)[sl], np.asarray(col_ub)[sl],
                 max_iter=max_iter, dtype=dtype,
                 start_basis=sx._slice_warm(start_basis, sl),
-                max_chunk=max_chunk, retry_primal=retry_primal))
-        return sx.concat_results(parts)
+                max_chunk=max_chunk, retry_primal=retry_primal,
+                start_state=sub_state, keep_state=keep_state)
+            if keep_state:
+                out, kept_i = out
+                keeps.append(kept_i)
+            parts.append(out)
+        res = sx.concat_results(parts)
+        if keep_state:
+            kept = (sx._concat_kept(keeps)
+                    if all(k is not None for k in keeps) else None)
+            return res, kept
+        return res
     B = c2.shape[0]
     Bp = sx._bucket_batch(B, Mp)
     if max_iter is None:
         max_iter = 50 * (Mp + Np) + 500
     full_c, lb, ub = sx._pad_batch_inputs(prep, c2, row_lb, row_ub,
                                           col_lb, col_ub, Bp, dtype)
-    if start_basis is None:
-        # the all-slack basis is dual feasible only for c <= 0 on
-        # structurals; DUAL_LOST instances fall back below
-        b0 = np.arange(Mp, dtype=np.int32)
-        u0 = np.zeros(Mp + Np, bool)
-    else:
-        b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
-    out = _solve_dual_segmented(prep.dev, jnp.asarray(full_c),
-                                jnp.asarray(lb), jnp.asarray(ub),
-                                jnp.asarray(b0, jnp.int32),
-                                jnp.asarray(u0, bool), max_iter)
+    state_warm = None
+    b0 = u0 = None
+    if start_state is not None:
+        ks, sidx = start_state
+        sidx = np.asarray(sidx, np.int32).reshape(-1)
+        if (ks is not None and ks.W.shape[-1] == Mp + Np
+                and ks.W.shape[-2] == Mp and sidx.size == B):
+            pad_idx = np.zeros(Bp, np.int32)
+            pad_idx[:B] = sidx
+            if Bp > B > 0:
+                pad_idx[B:] = sidx[0]
+            state_warm = (ks, pad_idx)
+    if state_warm is None:
+        if start_basis is None:
+            # the all-slack basis is dual feasible only for c <= 0 on
+            # structurals; DUAL_LOST instances fall back below
+            b0 = np.arange(Mp, dtype=np.int32)
+            u0 = np.zeros(Mp + Np, bool)
+        else:
+            b0, u0 = sx._pad_warm(start_basis, Mp, Mp + Np, B, Bp)
+        b0 = jnp.asarray(b0, jnp.int32)
+        u0 = jnp.asarray(u0, bool)
+    out, kept = _solve_dual_segmented(
+        prep.dev, jnp.asarray(full_c), jnp.asarray(lb), jnp.asarray(ub),
+        b0, u0, max_iter, state_warm=state_warm, keep_state=keep_state)
+    if kept is not None and Bp != B:
+        # drop padding rows so row i of the kept state is row i of the
+        # caller's batch (chunk concatenation relies on this)
+        kept = sx.KeptState(kept.basis[:B], kept.in_basis[:B],
+                            kept.at_upper[:B], kept.W[:B], kept.age)
     (status, obj, x, s, row_dual, col_dual, iters, basis, at_upper) = (
         np.asarray(o) for o in out)
     res = LPResult(status[:B], obj[:B], x[:B, :N], s[:B, :M],
@@ -265,4 +347,7 @@ def solve_batch_dual(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 dst[idx] = src
             merged[f.name] = dst
         res = LPResult(**merged)
+        kept = None   # kept rows no longer describe the returned result
+    if keep_state:
+        return res, kept
     return res
