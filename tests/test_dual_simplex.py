@@ -70,3 +70,54 @@ def test_dual_pure_no_retry_flags_lost():
     got = dx.solve_batch_dual(A, c, rlb, rub, clb, cub,
                               retry_primal=False)
     assert (got.status == sx.DUAL_LOST).any()
+
+
+def test_state_warm_chain_matches_basis_warm():
+    """Kept-device-tableau warm chain (simplex.KeptState): gather-based
+    re-solves must produce the same solution as basis-warm re-solves,
+    including with a permuted parent mapping (children of different
+    parents)."""
+    from tests.test_ipm import random_lp
+
+    A, c, rlb, rub, clb, cub = random_lp(20, 24, 6, seed=9)
+    cold = sx.solve_batch(A, c, rlb, rub, clb, cub)
+    rub2 = rub * 0.99
+    res2, kept = dx.solve_batch_dual(A, c, rlb, rub2, clb, cub,
+                                  start_basis=(cold.basis, cold.at_upper),
+                                  keep_state=True)
+    assert kept is not None
+    rub3 = rub2 * 0.995
+    res3, kept3 = dx.solve_batch_dual(A, c, rlb, rub3, clb, cub,
+                                   start_state=(kept, np.arange(6)),
+                                   keep_state=True)
+    ref3 = dx.solve_batch_dual(A, c, rlb, rub3, clb, cub,
+                            start_basis=(res2.basis, res2.at_upper))
+    np.testing.assert_allclose(res3.obj, ref3.obj, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(res3.x, ref3.x, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(res3.row_dual, ref3.row_dual,
+                               rtol=1e-7, atol=1e-9)
+    assert kept3 is not None and kept3.age >= kept.age
+    # permuted parent mapping
+    perm = np.array([1, 0, 3, 2, 5, 4])
+    res4, _ = dx.solve_batch_dual(A, c[perm], rlb[perm], rub3[perm],
+                               clb[perm], cub[perm],
+                               start_state=(kept3, perm),
+                               keep_state=True)
+    ref4 = dx.solve_batch_dual(A, c[perm], rlb[perm], rub3[perm],
+                            clb[perm], cub[perm])
+    np.testing.assert_allclose(res4.obj, ref4.obj, rtol=1e-9, atol=1e-9)
+
+
+def test_state_warm_disabled_env(monkeypatch):
+    """BENSOLVE_NO_STATE_WARM=1 must give identical e2e results (the
+    chain is a pure performance feature)."""
+    from tests.test_e2e import run
+
+    base = run("ex05", write_files=False)
+    monkeypatch.setenv("BENSOLVE_NO_STATE_WARM", "1")
+    off = run("ex05", write_files=False)
+    a = np.asarray(base.primal_points)
+    b = np.asarray(off.primal_points)
+    assert a.shape == b.shape
+    for row in a:
+        assert np.min(np.abs(b - row).sum(axis=1)) < 1e-9
