@@ -74,10 +74,20 @@ class _FacetWarm:
         from a foreign point) — per-candidate parents are the only
         sound variant."""
         if self.enabled and facet is not None:
+            # f32 storage: a warm START needs no f64 digits, and at
+            # ex09 scale an f64 triple is ~1.9 MB per facet
             self.by_facet[int(facet)] = (self.serial, "interior",
-                                         np.asarray(x), np.asarray(s),
-                                         np.asarray(row_dual))
+                                         np.asarray(x, np.float32),
+                                         np.asarray(s, np.float32),
+                                         np.asarray(row_dual, np.float32))
             self.serial += 1
+            if len(self.by_facet) > 768:
+                # evict the oldest entries (stale facets stop being
+                # parents once their vertices are processed)
+                drop = sorted(self.by_facet.items(),
+                              key=lambda kv: kv[1][0])[:256]
+                for k, _ in drop:
+                    del self.by_facet[k]
 
     def record_state_row(self, facet, row, solve_no) -> None:
         """Kept-device-tableau analogue of record(): the parent solve's
