@@ -175,7 +175,11 @@ def run_serial_baseline(A, c, row_lb, row_ub, col_lb, col_ub, k=24):
 def make_p2_instances(B, q=5, m=1000, n=2000, seed=7):
     """P2-template LP batch from the BASELINE config-#4 synthetic VLP:
     the exact matrix/bound structure the Benson hot loop issues
-    (templates.py P2Template; reference init_P2 bslv_algs.c:562-664)."""
+    (templates.py P2Template; reference init_P2 bslv_algs.c:562-664).
+    ipm_min=2000 selects the PRODUCTION route for this size (M+N ≈
+    3000): the Mehrotra IPM — the cold lockstep tableau needs >20k
+    pivots at M ≈ 1000 and measured 0/256 solved in round 5's first
+    attempt."""
     from bensolve_tpu.algs.templates import INHOMOGENEOUS, P2Template
     from bensolve_tpu.examples import random_vlp
 
@@ -186,56 +190,51 @@ def make_p2_instances(B, q=5, m=1000, n=2000, seed=7):
     Z = Z / (Z.T @ c_dual)[None, :]
     eta = np.full(q, 1.0 / q)
     t2 = P2Template(vlp, vlp.P.astype(float), Z, eta, INHOMOGENEOUS,
-                    dtype=np.float32)
+                    dtype=np.float32, ipm_min=2000)
     rng = np.random.default_rng(seed + 1)
     V = rng.random((B, q)) * 2.0 + 1.0          # synthetic frontier
     extra_ub = V @ t2.ZR
     return t2, extra_ub
 
 
-def run_p2_shape(B=256):
+def run_p2_shape(B=128):
     """Throughput on the P2-template shape + a serial HiGHS baseline on
-    the SAME LPs.  Two numbers: a BOUNDED cold solve (max_iter-capped —
-    uncapped lockstep pivoting at this shape ran for an hour in round
-    4), and the STEADY-STATE warm re-solve rate through the production
-    Benson round pattern (dual simplex from parent bases + the kept-
-    device-tableau chain, lp/dual_simplex.py) — the rate a real solve
-    sustains round over round.  The primary p2 number is the warm one."""
-    import numpy as _np
-
+    the SAME LPs, through the PRODUCTION route for this size (the IPM,
+    ipm_min=2000 — see make_p2_instances): one cold template solve
+    (compile + solve), then timed re-solve rounds with perturbed row
+    bounds, exactly the Benson round pattern (warm-interior carry,
+    straggler caps, quality classification all engaged).  The rate is
+    the steady-state round rate a real ex07-scale solve sustains."""
     from bensolve_tpu.lp import simplex
-    from bensolve_tpu.lp.dual_simplex import solve_batch_dual
 
     t2, extra_ub = make_p2_instances(B)
-    obj, row_lb, row_ub, col_lb, col_ub = t2.build_inputs(extra_ub)
-    A_lp = t2.A_lp
-    dtype = _np.float32
-
+    print(f"# p2-shape: cold solve B={B} starting", file=sys.stderr,
+          flush=True)
     t0 = time.perf_counter()
-    cold = simplex.solve_batch(A_lp, obj, row_lb, row_ub, col_lb,
-                               col_ub, dtype=dtype, max_iter=20000)
+    cold = t2.solve(extra_ub)
     cold_s = time.perf_counter() - t0            # includes compile
     n_opt = int((cold.status == simplex.OPTIMAL).sum())
+    print(f"# p2-shape: cold done {cold_s:.1f}s optimal={n_opt}/{B}",
+          file=sys.stderr, flush=True)
 
-    # steady state: bound-change re-solves warm from parent bases with
-    # the kept-state chain (round 2 pays the LU, rounds 3+ gather)
-    kept = None
-    warm = (cold.basis, cold.at_upper)
     times = []
-    for r in range(4):
-        rub2 = _np.asarray(row_ub, dtype) * (1.0 - 0.002 * (r + 1))
+    for r in range(3):
         t0 = time.perf_counter()
-        res, kept = solve_batch_dual(
-            A_lp, obj, row_lb, rub2, col_lb, col_ub, dtype=dtype,
-            max_iter=20000,
-            start_basis=None if kept is not None else warm,
-            start_state=(kept, _np.arange(B)) if kept is not None
-            else None, keep_state=True)
-        times.append(time.perf_counter() - t0)
-    rate = B / min(times[1:])                    # round 2+ = steady state
+        res = t2.solve(extra_ub * (1.0 - 0.002 * (r + 1)))
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        n_ok_w = int((res.status == simplex.OPTIMAL).sum())
+        qual = (res.quality if res.quality is not None
+                else np.zeros(1, int))
+        print(f"# p2-shape: warm round {r} {dt:.2f}s optimal="
+              f"{n_ok_w}/{B} loose={int((qual == 2).sum())}",
+              file=sys.stderr, flush=True)
+    rate = B / min(times)
 
     # serial baseline on identical P2 LPs (free/one-sided rows split by
     # bound pattern — linprog rejects non-finite b_ub)
+    obj, row_lb, row_ub, col_lb, col_ub = t2.build_inputs(extra_ub)
+    A_lp = t2.A_lp
     k = 4
     t0 = time.perf_counter()
     n_ok = 0
@@ -275,9 +274,13 @@ def run_ex11():
 def main():
     M, N, B = 96, 96, 4096
     args = make_instances(M, N, B)
+    print("# stage: device", file=sys.stderr, flush=True)
     lps_per_s, n_opt, compile_s, cold_piv, warm_piv = run_device(*args)
+    print("# stage: serial baseline", file=sys.stderr, flush=True)
     base_rate, base_ok = run_serial_baseline(*args)
+    print("# stage: p2 shape", file=sys.stderr, flush=True)
     p2_rate, p2_base = run_p2_shape()
+    print("# stage: ex11", file=sys.stderr, flush=True)
     ex11_wall, iters_per_s = run_ex11()
     out = {
         "metric": "scalarization_LPs_per_s_per_chip",
