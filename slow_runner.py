@@ -46,8 +46,14 @@ def run_one(ex):
         vlp = read_vlp(f"/root/reference/ex/{ex}.vlp")
         print(f"== {ex}: q={vlp.q} m={vlp.m} n={vlp.n} backend="
               f"{jax.default_backend()}", flush=True)
+        # phase-2 round snapshots so a wall-clock-killed huge run can be
+        # resumed (solve(..., resume=ckpt) across driver sessions)
+        ckpt = f"/tmp/bensolve_ckpt_{ex}"
+        resume = ckpt if (os.environ.get("BENSOLVE_RESUME") == "1"
+                          and os.path.exists(ckpt)) else None
         t0 = time.time()
-        r = solve(vlp, Options(write_files=False, **cfg))
+        r = solve(vlp, Options(write_files=False, checkpoint_path=ckpt,
+                               **cfg), resume=resume)
         wall = time.time() - t0
         sup_tol = {"ex07": 0.05, "ex09": 1e-2, "ex10": 1e-4}[ex]
         sup = "n/a"
@@ -61,7 +67,9 @@ def run_one(ex):
                    lps=r.stats.lps, rounds=r.stats.rounds,
                    points=len(r.primal_points),
                    directions=len(r.primal_directions),
-                   support=sup, backend=jax.default_backend())
+                   support=sup, backend=jax.default_backend(),
+                   loose_cuts=getattr(r.stats, "loose_cuts", 0),
+                   loose_deferred=getattr(r.stats, "loose_deferred", 0))
         print(json.dumps(row), flush=True)
         return row
     finally:
@@ -88,8 +96,8 @@ def main():
              "(`ex/example07.m:9`, `ex/example09.m:10`).",
              "",
              "| ex | backend | status | wall (s) | LPs | rounds | points "
-             "| dirs | support oracle |",
-             "|---|---|---|---|---|---|---|---|---|"]
+             "| dirs | support oracle | loose cuts |",
+             "|---|---|---|---|---|---|---|---|---|---|"]
     prev = {}
     if os.path.exists("SLOW_RESULTS.md"):
         for ln in open("SLOW_RESULTS.md"):
@@ -100,7 +108,8 @@ def main():
         prev[key] = (f"| {row['ex']} | {row['backend']} | {row['status']} "
                      f"| {row['wall_s']} | {row['lps']} | {row['rounds']} "
                      f"| {row['points']} | {row['directions']} "
-                     f"| {row['support']} |")
+                     f"| {row['support']} | {row['loose_cuts']} "
+                     f"({row['loose_deferred']} deferred) |")
     lines += [prev[k] for k in sorted(prev)]
     lines.append("")
     open("SLOW_RESULTS.md", "w").write("\n".join(lines))
