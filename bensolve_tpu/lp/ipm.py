@@ -704,7 +704,7 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     max_iter: int = 800, dtype=np.float32,
                     verbose: int = 0, polish: bool | None = None,
                     max_chunk: int | None = None,
-                    warm_interior=None,
+                    warm_interior=None, _rescue: bool = False,
                     **_ignored) -> LPResult:
     """solve_batch-compatible entry (basis/at_upper come back None).
     Extra keyword arguments accepted by the simplex backends
@@ -851,7 +851,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         # best iterate rarely improves past ~2x the pack's count — they
         # are classified from the best iterate either way (VERDICT r4
         # item 1a).  BENSOLVE_IPM_STRAGGLER_MULT tunes; 0 disables.
-        smult = float(os.environ.get("BENSOLVE_IPM_STRAGGLER_MULT", "2.0"))
+        smult = (0.0 if _rescue else float(
+            os.environ.get("BENSOLVE_IPM_STRAGGLER_MULT", "2.0")))
         cap = max_iter
         with _jax.default_matmul_precision(mm):
             while True:
@@ -993,6 +994,39 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     obj = np.einsum("bn,bn->b", c2, x)
     status[crossed] = INFEASIBLE
 
+    # rescue pass: instances the ADAPTIVE STRAGGLER CAP cut off get ONE
+    # full-budget, uncapped re-run (batch = just the stragglers).  The
+    # r4-era cost of a hard LP (a full 800-iteration grind) is thus
+    # paid once per hard instance instead of every Benson round, and a
+    # persistent straggler can still end loose-accepted instead of
+    # ITLIMing the deferral ledger to death (observed: ex07 round-15
+    # vertex failing 6 rounds running under the cap).
+    rescue_quality = {}
+    if (not _rescue
+            and float(os.environ.get("BENSOLVE_IPM_STRAGGLER_MULT",
+                                     "2.0")) > 0):
+        rs = np.flatnonzero(status == ITLIM)
+        if rs.size:
+            if verbose >= 2:
+                print(f"lp_solve[ipm]: rescuing {rs.size} capped "
+                      "instance(s) at full budget", flush=True)
+            res_r = solve_batch_ipm(
+                A, c2[rs], np.asarray(row_lb)[rs],
+                np.asarray(row_ub)[rs], np.asarray(col_lb)[rs],
+                np.asarray(col_ub)[rs], max_iter=max_iter, dtype=dtype,
+                verbose=verbose, polish=polish, max_chunk=max_chunk,
+                _rescue=True)
+            status[rs] = res_r.status
+            obj[rs] = res_r.obj
+            x[rs] = res_r.x
+            s[rs] = res_r.s
+            row_dual[rs] = res_r.row_dual
+            col_dual[rs] = res_r.col_dual
+            iters[rs] += res_r.iters
+            prov[rs] = 4   # quality comes from the rescue result
+            for j, i0 in enumerate(rs):
+                rescue_quality[int(i0)] = int(res_r.quality[j])
+
     # authoritative fallback: instances the IPM could not resolve
     # (ITLIM, no certificate, polish failed) are re-solved by the f64
     # simplex family when the shape is simplex-tractable.  This makes
@@ -1002,8 +1036,10 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     try:
         if jax.default_backend() == "tpu":
             # the f64 simplex fallback is emulated (pivot-bound) on
-            # TPU — only worth it for small instances
-            fb_default = "800"
+            # TPU; 1500 covers ex07-scale stragglers (M ~ 1220, a few
+            # LPs, ~minutes) while keeping ex09-scale (M ~ 4600, hours)
+            # out — those rely on the rescue pass + loose acceptance
+            fb_default = "1500"
     except Exception:
         pass
     fb_gate = int(os.environ.get("BENSOLVE_IPM_FALLBACK_M", fb_default))
@@ -1062,6 +1098,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         kkt_score[raw] = score
         quality[raw] = np.where(score < 10 * tol0, 0,
                                 np.where(score < 100 * tol0, 1, 2))
+    for i0, qv in rescue_quality.items():
+        quality[i0] = qv
 
     if verbose >= 2:
         counts = dict(zip(*np.unique(status, return_counts=True)))
