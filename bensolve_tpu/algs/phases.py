@@ -40,10 +40,11 @@ class Stats:
     rounds: int = 0
     cuts: int = 0
     pivots: int = 0   # total simplex pivots (warm-start efficacy metric)
-    loose_deferred: int = 0  # LPs deferred for loose quality (retried)
+    loose_deferred: int = 0  # loose results discarded because a clean
+    #   cut removed their vertex within the same round (applied last)
     loose_cuts: int = 0      # cuts/finalizations accepted from
-    #   loose-quality LPs after retries were exhausted (reported so a
-    #   recorded run states how many cuts rode ~1e-2-error duals)
+    #   loose-quality LPs (reported so a recorded run states how many
+    #   cuts rode ~1e-2-error duals)
 
 
 class _FacetWarm:
@@ -343,7 +344,6 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         or (warm_mode == "auto" and not distributed
             and not t2.prefers_shared_warm()))
     deferrals: dict[int, int] = {}
-    loose_defer: dict[int, int] = {}
     while True:
         frontier = P.frontier()
         if frontier.size == 0:
@@ -410,42 +410,22 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                     None if getattr(res, f.name) is None
                     else np.asarray(getattr(res, f.name))[sel]
                     for f in dataclasses.fields(simplex.LPResult)))
-        any_loose_deferred = False
-        if not distributed and res.quality is not None:
-            # LOOSE-quality LPs (budget-exhausted f32 IPM accepted at up
-            # to 250x the dtype tolerance — duals carry ~1e-2 error, the
-            # same order as the large-example Benson epsilons): defer
-            # rather than cut, giving this round's clean cuts a chance
-            # to remove the vertex; after two retries the loose result
-            # is accepted and counted (stats.loose_cuts) so a recorded
-            # run reports exactly how many cuts rode loose duals.
-            # Match: the reference's GLPK-exactness contract
-            # (bslv_lp.c:219-259) — exact there, measured-and-bounded
-            # here.
-            loose = np.flatnonzero(res.quality == 2)
-            if loose.size:
-                keep = np.ones(solve_idx.size, bool)
-                for k in loose:
-                    vid = int(solve_idx[k])
-                    loose_defer[vid] = loose_defer.get(vid, 0) + 1
-                    if loose_defer[vid] <= 2:
-                        keep[k] = False
-                        stats.loose_deferred += 1
-                        any_loose_deferred = True
-                    else:
-                        stats.loose_cuts += 1
-                if not keep.all():
-                    if verbose >= 2:
-                        print(f"[{what}] deferring "
-                              f"{int((~keep).sum())} loose-quality "
-                              f"LP(s) to a later round")
-                    ksel = np.flatnonzero(keep)
-                    solve_idx = solve_idx[ksel]
-                    orig_rows = orig_rows[ksel]
-                    res = simplex.LPResult(*(
-                        None if getattr(res, f.name) is None
-                        else np.asarray(getattr(res, f.name))[ksel]
-                        for f in dataclasses.fields(simplex.LPResult)))
+        # LOOSE-quality results (budget-exhausted f32 IPM accepted at up
+        # to 250x the dtype tolerance — duals carry ~1e-2 error, the
+        # same order as the large-example Benson epsilons) are applied
+        # LAST within the round, so every clean cut first gets the
+        # chance to remove the loose vertex; a loose result whose
+        # vertex survives is then accepted and COUNTED
+        # (stats.loose_cuts), one that died is discarded
+        # (stats.loose_deferred).  The LP for a vertex is deterministic
+        # and unchanged across rounds, so multi-round re-solving (the
+        # first design) only re-paid the full-budget straggler grind
+        # for an identical result.  Match: the reference's
+        # GLPK-exactness contract (bslv_lp.c:219-259) — exact there,
+        # measured-bounded-and-reported here.
+        loose_mask = (np.zeros(solve_idx.size, bool)
+                      if res.quality is None else
+                      np.asarray(res.quality) == 2)
         W = t2.duals_w(res)                    # (B_local, q)
 
         # per-candidate cut data rows
@@ -499,17 +479,21 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
         else:
             idx_all = solve_idx
             passed_all = passed
-            order = np.arange(idx_all.size)
+            # clean results first, loose ones last (see loose_mask)
+            order = np.concatenate([np.flatnonzero(~loose_mask),
+                                    np.flatnonzero(loose_mask)])
 
-        # a loose deferral advances its retry counter, so counting it as
-        # progress cannot loop forever (acceptance is forced after two
-        # retries) and keeps the stall guard honest
-        progressed = any_loose_deferred
+        progressed = False
         round_cuts = round_final = 0
         for i in order:
             idx = int(idx_all[i])
+            is_loose = not distributed and bool(loose_mask[i])
             if not P.used[idx]:
+                if is_loose:
+                    stats.loose_deferred += 1   # removed by a clean cut
                 continue   # removed by an earlier cut this round
+            if is_loose:
+                stats.loose_cuts += 1
             if passed_all[i]:
                 primg = primgs[i] if pre_img else None
                 if pair.add_vertex(ystars[i], ideal=False, primg=primg):
@@ -524,10 +508,12 @@ def _benson_primal_loop(pair: PolytopePair, t2: P2Template,
                         warm.record_state_row(pair.last_added,
                                               orig_rows[i],
                                               t2.last_solve_no)
-                    elif not distributed and res.basis is not None:
+                    elif (not distributed and res.basis is not None
+                          and not is_loose):
                         warm.record(pair.last_added, res.basis[i],
                                     res.at_upper[i])
                     elif (not distributed and res.basis is None
+                          and not is_loose
                           and (res.quality is None
                                or res.quality[i] == 0)):
                         # IPM route: carry the parent's CLEAN interior

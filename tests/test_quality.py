@@ -90,13 +90,14 @@ def _solve_with_planted_loose(ex, n_loose_rounds):
         templates._TemplateBase._run = orig
 
 
-def test_loose_lps_deferred_vertex_set_unchanged():
+def test_loose_lps_ordered_last_vertex_set_unchanged():
     """A Benson round whose LPs come back loose must not corrupt the
-    final vertex set: deferred candidates are re-solved in later
-    rounds (clean here), and the solution matches the unplanted run."""
+    final vertex set: loose results are applied AFTER the round's clean
+    cuts (never re-solved — the LP is deterministic), counted via
+    stats.loose_cuts, and the solution matches the unplanted run."""
     clean = run("ex05", write_files=False)
     # the count covers phase 0's probes and the phase-1 init (quality
-    # is ignored there) plus the first Benson-loop rounds (deferred)
+    # is ignored there) plus the first Benson-loop rounds
     planted = _solve_with_planted_loose("ex05", n_loose_rounds=8)
     assert planted.status is clean.status
     # vertex sets equal as unordered sets within the reference epsilon
@@ -105,13 +106,13 @@ def test_loose_lps_deferred_vertex_set_unchanged():
     assert a.shape == b.shape
     for row in a:
         assert np.min(np.abs(b - row).sum(axis=1)) < 1e-6
-    assert planted.stats.loose_deferred > 0
+    assert planted.stats.loose_cuts > 0
 
 
-def test_loose_lps_accepted_after_retries():
-    """When the loose flag persists past the retry budget the loop
-    accepts the results (they are exact underneath here) and counts
-    them, rather than stalling or raising."""
+def test_loose_lps_always_loose_still_solves():
+    """With EVERY LP flagged loose the loop must still terminate with
+    the correct vertex set (the results are exact underneath) and
+    report how many cuts rode loose LPs."""
     planted = _solve_with_planted_loose("ex05", n_loose_rounds=10**6)
     clean = run("ex05", write_files=False)
     assert planted.status is clean.status
