@@ -853,6 +853,15 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         # item 1a).  BENSOLVE_IPM_STRAGGLER_MULT tunes; 0 disables.
         smult = (0.0 if _rescue else float(
             os.environ.get("BENSOLVE_IPM_STRAGGLER_MULT", "2.0")))
+        # best-score stall stop: when NO running instance has improved
+        # its best KKT score by >10% for this many consecutive
+        # segments, more budget is restart-thrash — classify from the
+        # best iterate now.  This is what bounds a hard ex09 LP at
+        # ~3 segments past its last improvement instead of the full
+        # 800-iteration budget (observed 0.45 s/iteration).
+        stall_cap = int(os.environ.get("BENSOLVE_IPM_STALL_SEGS", "3"))
+        prev_best = None
+        stall_segs = 0
         cap = max_iter
         with _jax.default_matmul_precision(mm):
             while True:
@@ -866,13 +875,26 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     med = float(np.median(it_h[fin]))
                     cap = int(min(max_iter, max(smult * med + 40, 120)))
                 run_it = int(it_h[~fin].max()) if (~fin).any() else 0
-                done = fin.all() or run_it >= cap
+                stalled_out = False
+                if stall_cap > 0 and (~fin).any():
+                    best = np.asarray(carry[14])
+                    if prev_best is not None:
+                        improved = bool(
+                            (best[~fin] < 0.9 * prev_best[~fin]).any())
+                        stall_segs = 0 if improved else stall_segs + 1
+                        stalled_out = stall_segs >= stall_cap
+                    prev_best = best.copy()
+                done = fin.all() or run_it >= cap or stalled_out
                 if verbose >= 2 and not done:
                     print(f"lp_solve[ipm]: segment it={int(it_h.max())} "
                           f"running={int((~fin).sum())}/{Bp} cap={cap} "
+                          f"stall={stall_segs} "
                           f"({_time.perf_counter() - t_seg:.0f}s)",
                           flush=True)
                 if done:
+                    if verbose >= 2 and stalled_out:
+                        print("lp_solve[ipm]: best-score stall stop at "
+                              f"it={int(it_h.max())}", flush=True)
                     break
         if trace_on:
             for k, hrow in enumerate(np.asarray(carry[15])):
