@@ -863,6 +863,52 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         prev_best = None
         stall_segs = 0
         cap = max_iter
+        # batch compaction: once enough instances finish, shrink the
+        # lockstep batch to the running subset (pow2 ladder, each shape
+        # compiled once and persisted in the compile cache).  The
+        # S-build is per-instance FLOPs — without compaction 2
+        # stragglers in a 16-wide chunk pay 8x their own cost per
+        # iteration for the whole tail.  Finished rows are pulled to
+        # host at compaction time; `live` maps current rows to the
+        # chunk's original padded rows (-1 = pure padding).
+        Bp_cur = Bp
+        live = np.arange(Bp)
+        K_tot = c_p.shape[1]
+        Z_out = np.zeros((Bp, K_tot))
+        Y_out = np.zeros((Bp, M))
+        ZL_out = np.zeros((Bp, K_tot))
+        ZU_out = np.zeros((Bp, K_tot))
+        ST_out = np.full(Bp, -1, np.int32)
+        IT_out = np.zeros(Bp, np.int32)
+        written = np.zeros(Bp, bool)
+
+        def _flush(carry, local_rows):
+            idx = np.asarray(local_rows, int)
+            if idx.size == 0:
+                return
+            st_l = np.asarray(carry[6])[idx]
+            best = st_l < 0
+            z_l = np.where(best[:, None], np.asarray(carry[10])[idx],
+                           np.asarray(carry[0])[idx])
+            y_l = np.where(best[:, None], np.asarray(carry[11])[idx],
+                           np.asarray(carry[1])[idx])
+            zl_l = np.where(best[:, None], np.asarray(carry[12])[idx],
+                            np.asarray(carry[2])[idx])
+            zu_l = np.where(best[:, None], np.asarray(carry[13])[idx],
+                            np.asarray(carry[3])[idx])
+            it_l = np.asarray(carry[7])[idx]
+            for k, loc in enumerate(idx):
+                orig = live[loc]
+                if orig < 0 or written[orig]:
+                    continue
+                Z_out[orig] = z_l[k]
+                Y_out[orig] = y_l[k]
+                ZL_out[orig] = zl_l[k]
+                ZU_out[orig] = zu_l[k]
+                ST_out[orig] = st_l[k]
+                IT_out[orig] = it_l[k]
+                written[orig] = True
+
         with _jax.default_matmul_precision(mm):
             while True:
                 carry = _ipm_seg_jit(A_dev, c_p, l_p, u_p, split_dev,
@@ -870,9 +916,13 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 st_h = np.asarray(carry[6])
                 it_h = np.asarray(carry[7])
                 fin = st_h >= 0
+                real = live >= 0
+                n_fin_total = int(written.sum()) + int((fin & real).sum())
                 if (smult > 0 and cap == max_iter
-                        and fin.sum() >= max(1, (3 * Bp) // 4)):
-                    med = float(np.median(it_h[fin]))
+                        and n_fin_total >= max(1, (3 * Bp) // 4)):
+                    fin_iters = np.concatenate(
+                        [IT_out[written], it_h[fin & real]])
+                    med = float(np.median(fin_iters))
                     cap = int(min(max_iter, max(smult * med + 40, 120)))
                 run_it = int(it_h[~fin].max()) if (~fin).any() else 0
                 stalled_out = False
@@ -887,8 +937,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                 done = fin.all() or run_it >= cap or stalled_out
                 if verbose >= 2 and not done:
                     print(f"lp_solve[ipm]: segment it={int(it_h.max())} "
-                          f"running={int((~fin).sum())}/{Bp} cap={cap} "
-                          f"stall={stall_segs} "
+                          f"running={int((~fin).sum())}/{Bp_cur} "
+                          f"cap={cap} stall={stall_segs} "
                           f"({_time.perf_counter() - t_seg:.0f}s)",
                           flush=True)
                 if done:
@@ -896,6 +946,25 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                         print("lp_solve[ipm]: best-score stall stop at "
                               f"it={int(it_h.max())}", flush=True)
                     break
+                n_run = int((~fin).sum())
+                Bp_new = 1 << max(0, n_run - 1).bit_length()
+                if not trace_on and n_run > 0 and Bp_new <= Bp_cur // 2:
+                    _flush(carry, np.flatnonzero(fin))
+                    keep = np.flatnonzero(~fin)
+                    pad_k = np.full(Bp_new - keep.size, keep[0], int)
+                    sel_np = np.concatenate([keep, pad_k])
+                    sel = jnp.asarray(sel_np, jnp.int32)
+                    carry = tuple(a[sel] for a in carry[:15]) \
+                        + tuple(carry[15:])
+                    c_p, l_p, u_p = c_p[sel], l_p[sel], u_p[sel]
+                    live = np.concatenate(
+                        [live[keep], np.full(pad_k.size, -1)])
+                    Bp_cur = Bp_new
+                    prev_best = None
+                    if verbose >= 2:
+                        print(f"lp_solve[ipm]: compacted batch to "
+                              f"{Bp_cur}", flush=True)
+        _flush(carry, np.arange(Bp_cur))
         if trace_on:
             for k, hrow in enumerate(np.asarray(carry[15])):
                 if not hrow.any():
@@ -904,17 +973,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                       f"dinf={hrow[2]:.3e} gap={hrow[3]:.3e} "
                       f"ap={hrow[4]:.3f} ad={hrow[5]:.3f} "
                       f"sigma={hrow[6]:.3f}", flush=True)
-        # unconverged instances report their BEST iterate, not the last
-        zc, yc, zlc, zuc = (np.asarray(carry[j]) for j in range(4))
-        zbc, ybc, zlbc, zubc = (np.asarray(carry[j])
-                                for j in range(10, 14))
-        still = st_h < 0
-        zc = np.where(still[:, None], zbc, zc)
-        yc = np.where(still[:, None], ybc, yc)
-        zlc = np.where(still[:, None], zlbc, zlc)
-        zuc = np.where(still[:, None], zubc, zuc)
-        outs.append((zc[:Bc], yc[:Bc], zlc[:Bc], zuc[:Bc],
-                     st_h[:Bc], it_h[:Bc]))
+        outs.append((Z_out[:Bc], Y_out[:Bc], ZL_out[:Bc], ZU_out[:Bc],
+                     ST_out[:Bc], IT_out[:Bc]))
     z = np.concatenate([np.asarray(o[0], np.float64) for o in outs])
     y = np.concatenate([np.asarray(o[1], np.float64) for o in outs])
     zl = np.concatenate([np.asarray(o[2], np.float64) for o in outs])
