@@ -151,7 +151,8 @@ def _ipm_init_jit(c, l, u, M):
     return (z0, y0, zl0, zu0, p0, w0, status0,
             jnp.zeros(B, jnp.int32), jnp.ones(B, dtype),
             jnp.zeros(B, jnp.int32),
-            z0, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
+            z0, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype),
+            jnp.zeros(B, jnp.int32))
 
 
 # Warm-start interiorization (Gondzio-style): how far inside the box
@@ -190,7 +191,8 @@ def _ipm_warm_init_jit(c, l, u, z0, y0, M):
             jnp.zeros(B, jnp.int32),
             jnp.full(B, WARM_MU0, dtype),
             jnp.zeros(B, jnp.int32),
-            z, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype))
+            z, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype),
+            jnp.zeros(B, jnp.int32))
 
 
 def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
@@ -235,6 +237,7 @@ def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
 
     def body(carry):
         z, y, zl, zu, p, w, status, it, mu_prev, noimp = carry[:10]
+        resets = carry[15]
         running = status < 0
 
         theta = (jnp.where(has_l & ~fixed, zl / p, 0.0)
@@ -423,14 +426,17 @@ def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
         # primal iterate and y) — a fresh central-path trajectory from
         # the current point escapes f32 corners that small steps
         # cannot (the GLPK glp_std_basis retry analogue for the IPM).
-        # Late restarts (past half the budget) also re-center the
-        # PRIMAL iterate toward the box midpoint for trajectory
-        # diversity — repeated multiplier-only restarts from the same
-        # corner walk back into it.
+        # From the THIRD restart on, also re-center the PRIMAL iterate
+        # toward the box midpoint for trajectory diversity — repeated
+        # multiplier-only restarts from the same corner walk back into
+        # it.  (Count-based, not iteration-based: the host's best-score
+        # stall stop terminates hard instances around iteration ~200,
+        # so an it >= max_iter/2 gate would never fire.)
         restart = (running & (noimp_n >= 16) & (pinf >= 10 * tol))
         zl_n = jnp.where(restart[:, None] & has_l & ~fixed, 1.0, zl_n)
         zu_n = jnp.where(restart[:, None] & has_u & ~fixed, 1.0, zu_n)
-        full_restart = restart & (it >= max_iter // 2)
+        full_restart = restart & (resets >= 2)
+        resets_n = resets + restart.astype(jnp.int32)
         mid = jnp.where(fixed, l,
                         jnp.where(has_l & has_u, 0.5 * (l + u),
                                   jnp.where(has_l, l + 1.0,
@@ -486,13 +492,13 @@ def _ipm_core(A, c, l, u, split, carry0, seg, max_iter, dtype):
                                           status))))
         it_n = it + running.astype(jnp.int32)
         carry_n = (z_n, y_n, zl_n, zu_n, p_n, w_n, status_n, it_n, mu_n,
-                   noimp_n, zb, yb, zlb, zub, score_b)
+                   noimp_n, zb, yb, zlb, zub, score_b, resets_n)
         if trace_on:
             # per-iteration history of instance 0 written into a
             # carried buffer (static env gate BENSOLVE_IPM_TRACE=1) —
             # host callbacks are unavailable on the axon tunnel
             # backend, so the trace must ride the loop state
-            hist = carry[15]
+            hist = carry[16]
             row = jnp.stack([mu_n[0], pinf[0], dinf[0], gap[0],
                              a_p[0, 0], a_d[0, 0], sigma[0]])
             idx = jnp.minimum(it[0], hist.shape[0] - 1).astype(jnp.int32)
@@ -954,8 +960,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     pad_k = np.full(Bp_new - keep.size, keep[0], int)
                     sel_np = np.concatenate([keep, pad_k])
                     sel = jnp.asarray(sel_np, jnp.int32)
-                    carry = tuple(a[sel] for a in carry[:15]) \
-                        + tuple(carry[15:])
+                    carry = tuple(a[sel] for a in carry[:16]) \
+                        + tuple(carry[16:])
                     c_p, l_p, u_p = c_p[sel], l_p[sel], u_p[sel]
                     live = np.concatenate(
                         [live[keep], np.full(pad_k.size, -1)])
@@ -966,7 +972,7 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                               f"{Bp_cur}", flush=True)
         _flush(carry, np.arange(Bp_cur))
         if trace_on:
-            for k, hrow in enumerate(np.asarray(carry[15])):
+            for k, hrow in enumerate(np.asarray(carry[16])):
                 if not hrow.any():
                     break
                 print(f"ipm it={k} mu={hrow[0]:.3e} pinf={hrow[1]:.3e} "

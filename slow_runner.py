@@ -24,7 +24,8 @@ CONFIGS = {
     "ex07": dict(eps_benson_phase2=0.05, lp_dtype="float32",
                  message_level=2, lp_ipm_min=2000, env={}),
     "ex09": dict(eps_benson_phase2=1e-2, lp_dtype="float32",
-                 message_level=2, lp_ipm_min=2000, env={}),
+                 message_level=2, lp_message_level=2, lp_ipm_min=2000,
+                 env={}),
     "ex10": dict(message_level=2, env={}),
 }
 
