@@ -139,10 +139,28 @@ class _FacetWarm:
         if kinds != {"basis"} and kinds != {"interior"}:
             return None
         if kinds == {"interior"}:
-            return ("interior",
-                    np.stack([r[2] for r in rows]),
-                    np.stack([r[3] for r in rows]),
-                    np.stack([r[4] for r in rows]))
+            # candidates WITHOUT a recorded parent must start COLD (NaN
+            # row -> per-row cold init in _ipm_warm_init_jit): a
+            # borrowed FOREIGN interior point measurably hurts
+            # convergence (probe: 22-35 cold iterations vs 43-61 warm
+            # from a foreign point; observed live on ex09 round 5 as
+            # 12/16 instances unconverged at iteration 300)
+            orig = []
+            for idx in cand:
+                best = None
+                for f in poly.inc[int(idx)]:
+                    e = self.by_facet.get(int(f))
+                    if e is not None and (best is None or e[0] > best[0]):
+                        best = e
+                orig.append(best)
+            out = []
+            for k in range(3):
+                stack = np.stack([
+                    (r[2 + k] if r is not None else
+                     np.full_like(fill[2 + k], np.nan))
+                    for r in orig])
+                out.append(stack)
+            return ("interior", out[0], out[1], out[2])
         basis = np.stack([r[2] for r in rows])
         atup = np.stack([r[3] for r in rows])
         return basis, atup

@@ -171,25 +171,38 @@ def _ipm_warm_init_jit(c, l, u, z0, y0, M):
     SCALED space: primal pushed WARM_MARGIN inside every finite bound;
     bound multipliers set to WARM_MU0 / distance so every barrier pair
     starts exactly centered at mu = WARM_MU0 — two decades below the
-    cold start's mu ~ 1.  The TPU-native analogue of GLPK's carried
-    basis (bslv_lp.c:31) for the IPM route."""
+    cold start's mu ~ 1.  Rows of z0 containing non-finite values are
+    COLD-started instead (the _FacetWarm NaN marker for candidates
+    without a parent — a borrowed foreign point measurably hurts).
+    The TPU-native analogue of GLPK's carried basis (bslv_lp.c:31) for
+    the IPM route."""
     dtype = c.dtype
     B, K = c.shape
     has_l = jnp.isfinite(l)
     has_u = jnp.isfinite(u)
     fixed = has_l & has_u & (u - l <= 0)
+    row_ok = (jnp.all(jnp.isfinite(z0), axis=1)
+              & jnp.all(jnp.isfinite(y0), axis=1))      # (B,)
+    zc0, pc0, wc0, zlc0, zuc0 = _ipm_init_core(c, l, u, dtype)
+    z0 = jnp.where(row_ok[:, None], z0, zc0)
+    y0 = jnp.where(row_ok[:, None], y0, 0.0)
     narrow = has_l & has_u & ~fixed & (u - l < 2.5 * WARM_MARGIN)
     z = jnp.where(has_l, jnp.maximum(z0, l + WARM_MARGIN), z0)
     z = jnp.where(has_u, jnp.minimum(z, u - WARM_MARGIN), z)
     z = jnp.where(narrow, 0.5 * (l + u), jnp.where(fixed, l, z))
+    z = jnp.where(row_ok[:, None], z, zc0)
     p0 = jnp.where(has_l & ~fixed, jnp.maximum(z - l, 1e-8), 1.0)
     w0 = jnp.where(has_u & ~fixed, jnp.maximum(u - z, 1e-8), 1.0)
     zl0 = jnp.where(has_l & ~fixed, WARM_MU0 / p0, 0.0).astype(dtype)
     zu0 = jnp.where(has_u & ~fixed, WARM_MU0 / w0, 0.0).astype(dtype)
+    p0 = jnp.where(row_ok[:, None], p0, pc0)
+    w0 = jnp.where(row_ok[:, None], w0, wc0)
+    zl0 = jnp.where(row_ok[:, None], zl0, zlc0)
+    zu0 = jnp.where(row_ok[:, None], zu0, zuc0)
     status0 = jnp.full(B, -1, jnp.int32)
+    mu0 = jnp.where(row_ok, WARM_MU0, 1.0).astype(dtype)
     return (z, y0, zl0, zu0, p0, w0, status0,
-            jnp.zeros(B, jnp.int32),
-            jnp.full(B, WARM_MU0, dtype),
+            jnp.zeros(B, jnp.int32), mu0,
             jnp.zeros(B, jnp.int32),
             z, y0, zl0, zu0, jnp.full(B, jnp.inf, dtype),
             jnp.zeros(B, jnp.int32))
@@ -788,8 +801,13 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                      and wx.shape[0] in (1, B)
                      and ws.shape[0] == wx.shape[0]
                      and wrd.shape[0] == wx.shape[0])
-        if (shapes_ok and np.isfinite(wx).all()
-                and np.isfinite(ws).all() and np.isfinite(wrd).all()):
+        # per-instance warms may contain NaN rows (= start that row
+        # cold, the _FacetWarm no-parent marker); a shared warm must be
+        # fully finite
+        finite_ok = (np.isfinite(wx).all() and np.isfinite(ws).all()
+                     and np.isfinite(wrd).all()) \
+            if wx.shape[0] == 1 else True
+        if shapes_ok and finite_ok:
             Bw = wx.shape[0]
             xw = wx / cv[None, :]
             zw = np.concatenate(
