@@ -680,6 +680,76 @@ def _loose_kkt_ok(As, z, y, zl, zu, l, u, c_s, tol) -> bool:
     return (pinf < lim) and (dinf < lim) and (binf < lim) and (gap < lim)
 
 
+_SPARSE_CACHE: dict = {}
+
+
+def _host_highs_one(A_csr, ci, rlb, rub, clb, cub):
+    """Exact host-side solve of ONE straggler LP via scipy/HiGHS on the
+    SPARSE original matrix — the terminal fallback that restores the
+    reference's GLPK-exactness contract (bslv_lp.c:219-259) at every
+    scale.  ex09's matrix is 0.1% dense (nz=185856 of 4608x36939,
+    SURVEY.md section 6): sparse HiGHS solves one such LP in seconds
+    where every dense device method is FLOP- or pivot-bound.  Returns
+    (status, obj, x, s, row_dual, col_dual) in solve_batch's dual sign
+    convention: c = A' row_dual + col_dual."""
+    import scipy.sparse as sp
+    from scipy.optimize import linprog
+
+    M = A_csr.shape[0]
+    eq = np.isfinite(rlb) & np.isfinite(rub) & (rlb == rub)
+    ubm = np.isfinite(rub) & ~eq
+    lbm = np.isfinite(rlb) & ~eq
+    blocks = []
+    if ubm.any():
+        blocks.append(A_csr[ubm])
+    if lbm.any():
+        blocks.append(-A_csr[lbm])
+    A_ub = sp.vstack(blocks, format="csr") if blocks else None
+    b_ub = np.concatenate([rub[ubm], -rlb[lbm]])
+    kw = {}
+    if A_ub is not None:
+        kw["A_ub"], kw["b_ub"] = A_ub, b_ub
+    if eq.any():
+        kw["A_eq"], kw["b_eq"] = A_csr[eq], rub[eq]
+    res = linprog(ci, bounds=list(zip(clb, cub)), method="highs", **kw)
+    smap = {0: OPTIMAL, 2: INFEASIBLE, 3: UNBOUNDED}
+    st = smap.get(res.status, ITLIM)
+    if st != OPTIMAL:
+        N = A_csr.shape[1]
+        return (st, 0.0, np.zeros(N), np.zeros(M), np.zeros(M),
+                np.zeros(N))
+    row_dual = np.zeros(M)
+    if A_ub is not None:
+        m_in = np.asarray(res.ineqlin.marginals)
+        n_ub = int(ubm.sum())
+        row_dual[ubm] += m_in[:n_ub]
+        row_dual[lbm] -= m_in[n_ub:]
+    if eq.any():
+        row_dual[eq] = np.asarray(res.eqlin.marginals)
+    x = np.asarray(res.x)
+    s = A_csr @ x
+    col_dual = np.asarray(ci) - A_csr.T @ row_dual
+    return st, float(res.fun), x, s, row_dual, col_dual
+
+
+def _sparse_A(A):
+    """CSR of the ORIGINAL (unscaled, unpadded) constraint matrix,
+    memoized by identity."""
+    import scipy.sparse as sp
+
+    base = A.A if hasattr(A, "A") and not isinstance(A, np.ndarray) else A
+    base = np.asarray(base, np.float64)
+    key = id(base)
+    hit = _SPARSE_CACHE.get(key)
+    if hit is not None and hit[0] is base:
+        return hit[1]
+    csr = sp.csr_matrix(base)
+    if len(_SPARSE_CACHE) > 8:
+        _SPARSE_CACHE.clear()
+    _SPARSE_CACHE[key] = (base, csr)
+    return csr
+
+
 def _farkas_infeasible(As, y, l, u) -> bool:
     """Infeasibility certificate for {G z = 0, l <= z <= u} from the
     final dual iterate: with g = G'y, the box-minimum of y'Gz is
@@ -828,6 +898,10 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     A_dev = jnp.asarray(As)
     split_dev = jnp.asarray(split)
     outs = []
+    # global batch rows that were per-instance FROZEN (best iterate
+    # stopped improving): the rescue pass skips them — a deterministic
+    # re-run freezes at the same point
+    frozen_rows: set = set()
     for s0 in range(0, B, chunk):
         sl = slice(s0, min(s0 + chunk, B))
         Bc = sl.stop - s0
@@ -884,8 +958,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         # ~3 segments past its last improvement instead of the full
         # 800-iteration budget (observed 0.45 s/iteration).
         stall_cap = int(os.environ.get("BENSOLVE_IPM_STALL_SEGS", "3"))
-        prev_best = None
-        stall_segs = 0
+        best_prev = None
+        noimp_segs = None
         cap = max_iter
         # batch compaction: once enough instances finish, shrink the
         # lockstep batch to the running subset (pow2 ladder, each shape
@@ -949,32 +1023,40 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     med = float(np.median(fin_iters))
                     cap = int(min(max_iter, max(smult * med + 40, 120)))
                 run_it = int(it_h[~fin].max()) if (~fin).any() else 0
-                stalled_out = False
-                if stall_cap > 0 and (~fin).any():
-                    best = np.asarray(carry[14])
-                    if prev_best is not None:
-                        improved = bool(
-                            (best[~fin] < 0.9 * prev_best[~fin]).any())
-                        stall_segs = 0 if improved else stall_segs + 1
-                        stalled_out = stall_segs >= stall_cap
-                    prev_best = best.copy()
-                done = fin.all() or run_it >= cap or stalled_out
+                # PER-INSTANCE best-score freeze: an instance whose own
+                # best KKT score hasn't improved >10% for stall_cap
+                # consecutive segments is restart-thrashing — flush it
+                # (classified from its best iterate) and keep only the
+                # still-improving ones running.  A global any-improved
+                # criterion never fired with a dozen running instances.
+                best = np.asarray(carry[14])
+                if best_prev is None or best_prev.size != Bp_cur:
+                    best_prev = best.copy()
+                    noimp_segs = np.zeros(Bp_cur, int)
+                else:
+                    improved = best < 0.9 * best_prev
+                    noimp_segs = np.where(improved, 0, noimp_segs + 1)
+                    best_prev = np.minimum(best_prev, best)
+                frozen = ((~fin) & (noimp_segs >= stall_cap)
+                          if stall_cap > 0 else np.zeros(Bp_cur, bool))
+                for j in np.flatnonzero(frozen & real):
+                    if live[j] < Bc:
+                        frozen_rows.add(int(s0 + live[j]))
+                done = (fin | frozen).all() or run_it >= cap
                 if verbose >= 2 and not done:
                     print(f"lp_solve[ipm]: segment it={int(it_h.max())} "
                           f"running={int((~fin).sum())}/{Bp_cur} "
-                          f"cap={cap} stall={stall_segs} "
+                          f"cap={cap} "
+                          f"frozen={int(frozen.sum())} "
                           f"({_time.perf_counter() - t_seg:.0f}s)",
                           flush=True)
                 if done:
-                    if verbose >= 2 and stalled_out:
-                        print("lp_solve[ipm]: best-score stall stop at "
-                              f"it={int(it_h.max())}", flush=True)
                     break
-                n_run = int((~fin).sum())
+                n_run = int((~fin & ~frozen).sum())
                 Bp_new = 1 << max(0, n_run - 1).bit_length()
                 if not trace_on and n_run > 0 and Bp_new <= Bp_cur // 2:
-                    _flush(carry, np.flatnonzero(fin))
-                    keep = np.flatnonzero(~fin)
+                    _flush(carry, np.flatnonzero(fin | frozen))
+                    keep = np.flatnonzero(~fin & ~frozen)
                     pad_k = np.full(Bp_new - keep.size, keep[0], int)
                     sel_np = np.concatenate([keep, pad_k])
                     sel = jnp.asarray(sel_np, jnp.int32)
@@ -984,7 +1066,8 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                     live = np.concatenate(
                         [live[keep], np.full(pad_k.size, -1)])
                     Bp_cur = Bp_new
-                    prev_best = None
+                    best_prev = best_prev[sel_np]
+                    noimp_segs = noimp_segs[sel_np]
                     if verbose >= 2:
                         print(f"lp_solve[ipm]: compacted batch to "
                               f"{Bp_cur}", flush=True)
@@ -1108,10 +1191,12 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     # ITLIMing the deferral ledger to death (observed: ex07 round-15
     # vertex failing 6 rounds running under the cap).
     rescue_quality = {}
-    if (not _rescue
+    host_fb = os.environ.get("BENSOLVE_HOST_FALLBACK", "1") != "0"
+    if (not _rescue and not host_fb
             and float(os.environ.get("BENSOLVE_IPM_STRAGGLER_MULT",
                                      "2.0")) > 0):
-        rs = np.flatnonzero(status == ITLIM)
+        rs = np.array([i for i in np.flatnonzero(status == ITLIM)
+                       if i not in frozen_rows], int)
         if rs.size:
             if verbose >= 2:
                 print(f"lp_solve[ipm]: rescuing {rs.size} capped "
@@ -1150,7 +1235,7 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
         pass
     fb_gate = int(os.environ.get("BENSOLVE_IPM_FALLBACK_M", fb_default))
     fb = np.flatnonzero(status == ITLIM)
-    if fb.size and M <= fb_gate:
+    if fb.size and M <= fb_gate and not host_fb:
         from bensolve_tpu.lp import simplex as _sx
         from bensolve_tpu.lp import revised as _rv
 
@@ -1206,6 +1291,46 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
                                 np.where(score < 100 * tol0, 1, 2))
     for i0, qv in rescue_quality.items():
         quality[i0] = qv
+
+    # terminal host fallback (default on): unresolved (ITLIM) and
+    # loose-quality instances are re-solved EXACTLY by sparse HiGHS on
+    # the host — the role GLPK plays for the reference
+    # (bslv_lp.c:219-259).  The reference examples' huge matrices are
+    # ~0.1% dense, so one straggler LP costs seconds on host where the
+    # dense device paths are FLOP- or pivot-bound; bounded at 32 LPs
+    # per call (BENSOLVE_HOST_FALLBACK_MAX overrides).
+    if host_fb and not _rescue:
+        hmax = int(os.environ.get("BENSOLVE_HOST_FALLBACK_MAX", "32"))
+        targets = np.flatnonzero(
+            (status == ITLIM) | ((status == OPTIMAL) & (quality == 2)))
+        targets = targets[:hmax]
+        if targets.size:
+            if verbose >= 2:
+                print(f"lp_solve[ipm]: host HiGHS fallback for "
+                      f"{targets.size} instance(s)", flush=True)
+            A_csr = _sparse_A(A)
+            rlb_a, rub_a = np.asarray(row_lb), np.asarray(row_ub)
+            clb_a, cub_a = np.asarray(col_lb), np.asarray(col_ub)
+            t_h = _time.perf_counter()
+            for i in targets:
+                st_i, obj_i, x_i, s_i, rd_i, cd_i = _host_highs_one(
+                    A_csr, np.asarray(c2[i], np.float64),
+                    np.asarray(rlb_a[i], np.float64),
+                    np.asarray(rub_a[i], np.float64),
+                    np.asarray(clb_a[i], np.float64),
+                    np.asarray(cub_a[i], np.float64))
+                if st_i != ITLIM:
+                    status[i] = st_i
+                    obj[i] = obj_i
+                    x[i] = x_i
+                    s[i] = s_i
+                    row_dual[i] = rd_i
+                    col_dual[i] = cd_i
+                    quality[i] = 0
+                    prov[i] = 3
+            if verbose >= 2:
+                print(f"lp_solve[ipm]: host fallback done in "
+                      f"{_time.perf_counter() - t_h:.1f}s", flush=True)
 
     if verbose >= 2:
         counts = dict(zip(*np.unique(status, return_counts=True)))

@@ -206,3 +206,25 @@ def test_ipm_warm_interior_start():
                                atol=1e-6)
     # warm must not be slower on the instance that supplied the point
     assert int(warm2.iters[0]) <= int(cold2.iters[0])
+
+
+def test_host_highs_fallback_duals_match():
+    """The terminal host fallback (sparse HiGHS) must return duals in
+    solve_batch's sign convention (c = A' row_dual + col_dual), across
+    two-sided rows, equalities, fixed and free columns."""
+    from bensolve_tpu.lp import ipm
+
+    A, c, rlb, rub, clb, cub = random_lp(14, 20, 3, seed=13, eq_rows=3,
+                                         fixed_cols=2, free_cols=2)
+    rlb = rlb.copy()
+    rlb[:, 5:8] = rub[:, 5:8] - 2.0       # two-sided rows
+    ref = simplex.solve_batch(A, c, rlb, rub, clb, cub)
+    A_csr = ipm._sparse_A(A)
+    for i in range(3):
+        st, obj, x, s, rd, cd = ipm._host_highs_one(
+            A_csr, c[i], rlb[i], rub[i], clb[i], cub[i])
+        assert st == simplex.OPTIMAL
+        assert obj == pytest.approx(ref.obj[i], abs=1e-8)
+        stat = c[i] - rd @ A - cd
+        assert np.abs(stat).max() < 1e-9
+        np.testing.assert_allclose(rd, ref.row_dual[i], atol=1e-7)
