@@ -806,6 +806,12 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     chunked against an HBM budget (the per-instance normal matrix +
     factor is 2*M*M*itemsize; BENSOLVE_IPM_BYTES overrides)."""
     dtype = np.dtype(dtype).type
+    # BENSOLVE_IPM_MAXIT: budget override.  With the exact host
+    # fallback on (default), a SHORT device pass that catches the
+    # easy majority plus host HiGHS for the rest beats a long device
+    # grind: measured on ex09 round 5, HiGHS resolves a straggler in
+    # ~1.5 s while the device needs minutes of restart-heavy f32 work.
+    max_iter = int(os.environ.get("BENSOLVE_IPM_MAXIT", max_iter))
     sc = _scale(A, dtype)
     M, N = sc.As.shape
     c2 = np.atleast_2d(np.asarray(c))

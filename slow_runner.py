@@ -25,7 +25,12 @@ CONFIGS = {
                  message_level=2, lp_ipm_min=2000, env={}),
     "ex09": dict(eps_benson_phase2=1e-2, lp_dtype="float32",
                  message_level=2, lp_message_level=2, lp_ipm_min=2000,
-                 env={}),
+                 # short device pass (easy majority converges in
+                 # ~60-120 iterations) + exact host HiGHS for the rest:
+                 # measured round 5, HiGHS does a straggler in ~1.5 s
+                 # vs minutes of restart-heavy f32 device work
+                 env={"BENSOLVE_IPM_MAXIT": "180",
+                      "BENSOLVE_HOST_FALLBACK_MAX": "64"}),
     "ex10": dict(message_level=2, env={}),
 }
 
