@@ -269,15 +269,23 @@ def _extract_R_H(sol: SolutionContext, lower_poly, opt: Options,
     R (non-redundant) and H (its dual cone)."""
     q = sol.q
     cols = []
+    alphas = []
     for l in lower_poly.live():
         if lower_poly.ideal[l]:
             continue
         v = lower_poly.data[l]
+        alphas.append(abs(v[q - 1]))
         if abs(v[q - 1]) < opt.eps_phase1:
             w = np.empty(q)
             w[: q - 1] = v[: q - 1]
             w[q - 1] = 1.0 - sol.c[: q - 1] @ v[: q - 1]
             cols.append(w)
+    if opt.message_level >= 2 and alphas:
+        alphas = np.sort(np.asarray(alphas))
+        print(f"phase1 R/H: {len(cols)}/{alphas.size} lower-image "
+              f"vertices classified as rays at eps_phase1="
+              f"{opt.eps_phase1:g}; smallest last-components "
+              f"{[f'{a:.2e}' for a in alphas[:6]]}", flush=True)
     arr = np.array(cols).T if cols else np.zeros((q, 0))
     res = cone_vertenum(arr, q)
     if res is None:
