@@ -1307,8 +1307,12 @@ def solve_batch_ipm(A, c, row_lb, row_ub, col_lb, col_ub, *,
     # per call (BENSOLVE_HOST_FALLBACK_MAX overrides).
     if host_fb and not _rescue:
         hmax = int(os.environ.get("BENSOLVE_HOST_FALLBACK_MAX", "32"))
+        # quality >= 1 goes to the exact solver too: salvaged (<=100x
+        # tol) duals carry ~1e-2-scale errors — observed on ex09, a
+        # quality-1 cut can fail to remove its own generating vertex
+        # and the Benson loop inches one near-identical cut per round
         targets = np.flatnonzero(
-            (status == ITLIM) | ((status == OPTIMAL) & (quality == 2)))
+            (status == ITLIM) | ((status == OPTIMAL) & (quality >= 1)))
         targets = targets[:hmax]
         if targets.size:
             if verbose >= 2:
