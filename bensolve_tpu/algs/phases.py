@@ -268,6 +268,18 @@ def _extract_R_H(sol: SolutionContext, lower_poly, opt: Options,
     component so that c'y* == 1, and run cone vertex enumeration to get
     R (non-redundant) and H (its dual cone)."""
     q = sol.q
+    # the reference's 1e-8 ray test (bslv_algs.c:912) assumes
+    # GLPK-exact multipliers; the f32 LP route carries ~1e-4-scale dual
+    # noise in the last component, and a MISSED recession ray wrecks
+    # the phase-2 seeding (observed on ex09: one true ray read
+    # 1.3e-5 and the computed image was grossly wrong).  Vertices
+    # within eps_benson/10 of the alpha=0 plane are rays at the
+    # epsilons such routes run at.
+    ray_eps = opt.eps_phase1
+    if np.dtype(opt.lp_dtype) == np.dtype(np.float32):
+        # f32 dual-noise floor: clean (quality-0) results are accepted
+        # at KKT <= 10x the f32 tolerance = 1e-3 (lp/ipm.py)
+        ray_eps = max(ray_eps, 1e-3)
     cols = []
     alphas = []
     for l in lower_poly.live():
@@ -275,7 +287,7 @@ def _extract_R_H(sol: SolutionContext, lower_poly, opt: Options,
             continue
         v = lower_poly.data[l]
         alphas.append(abs(v[q - 1]))
-        if abs(v[q - 1]) < opt.eps_phase1:
+        if abs(v[q - 1]) < ray_eps:
             w = np.empty(q)
             w[: q - 1] = v[: q - 1]
             w[q - 1] = 1.0 - sol.c[: q - 1] @ v[: q - 1]
