@@ -295,8 +295,8 @@ def _extract_R_H(sol: SolutionContext, lower_poly, opt: Options,
     if opt.message_level >= 2 and alphas:
         alphas = np.sort(np.asarray(alphas))
         print(f"phase1 R/H: {len(cols)}/{alphas.size} lower-image "
-              f"vertices classified as rays at eps_phase1="
-              f"{opt.eps_phase1:g}; smallest last-components "
+              f"vertices classified as rays at ray_eps="
+              f"{ray_eps:g}; smallest last-components "
               f"{[f'{a:.2e}' for a in alphas[:6]]}", flush=True)
     arr = np.array(cols).T if cols else np.zeros((q, 0))
     res = cone_vertenum(arr, q)
