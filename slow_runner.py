@@ -20,6 +20,16 @@ os.environ.setdefault("BENSOLVE_IPM_BYTES", "6000000000")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _setup_compile_cache():
+    """Persistent XLA compile cache: a fresh-shape IPM segment program
+    at ex09 scale takes ~10 min to compile through the remote-TPU
+    tunnel; resumed / repeated runs must not pay that again."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 CONFIGS = {
     "ex07": dict(eps_benson_phase2=0.05, lp_dtype="float32",
                  message_level=2, lp_ipm_min=2000, env={}),
@@ -38,6 +48,8 @@ CONFIGS = {
 def run_one(ex):
     import jax
     import numpy as np
+
+    _setup_compile_cache()
 
     from bensolve_tpu.algs.driver import solve
     from bensolve_tpu.vlp.options import Options
